@@ -1,0 +1,56 @@
+"""Interpreter parameterization: one integer-op spec, two executions.
+
+The reference maintains *two* hand-synchronized implementations of every
+integer operator — a PyTorch QAT version (quant_modules.py) and a TVM
+Relay deploy version (TVM_benchmark/models/layers.py) — and they drifted
+(e.g. softmax n=15 vs n=16, 16-bit vs 8-bit outputs; see
+/root/reference/models/quantization_utils/quant_modules.py:458 vs
+/root/reference/TVM_benchmark/models/layers.py:377).
+
+Here every integer op is written exactly once against this tiny
+interpreter interface:
+
+* ``SIM``    — QAT: floor/round are straight-through (identity-gradient)
+  so the optimizer can train through the integer pipeline.
+* ``DEPLOY`` — inference: plain floor/round, no autodiff machinery.
+
+Both run the same float32 integer-carrier arithmetic, so QAT sees
+bit-identical forward numerics to the deployed graph by construction.
+(int8/int32 dtypes appear only at MXU matmul boundaries in the deploy
+engine — elementwise integer math runs on the VPU in f32 lanes, which is
+the TPU-native choice; f32 carries every integer that matters here and
+deviations beyond 2^24 are part of the spec on both sides equally.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..core.ste import floor_ste, round_ste
+
+
+@dataclasses.dataclass(frozen=True)
+class Interp:
+    """Floor/round primitives for one interpreter."""
+
+    floor: Callable
+    round: Callable
+    is_sim: bool
+
+    def clip(self, x, lo, hi):
+        """Clamp with STE semantics in sim mode (the reference's clamps
+        never mask gradients: fixedpoint_mul.backward is unconditional,
+        quant_utils.py:255-261)."""
+        import jax
+
+        clipped = jnp.clip(x, lo, hi)
+        if self.is_sim:
+            return x + jax.lax.stop_gradient(clipped - x)
+        return clipped
+
+
+SIM = Interp(floor=floor_ste, round=round_ste, is_sim=True)
+DEPLOY = Interp(floor=jnp.floor, round=jnp.round, is_sim=False)

@@ -1,0 +1,47 @@
+"""Shift-based integer exponential (the I-ViT "shift-exp" trick).
+
+Computes ``exp(x)`` for non-positive integer inputs using only shifts and
+adds: ``x·log2(e) ≈ x + x/2 − x/16``, then decompose by the integer that
+represents −1 and reconstruct ``2^(n−q)·(r/2 − x0)``.
+
+Reference: ``int_exp_shift`` in IntGELU/IntSoftmax
+(/root/reference/models/quantization_utils/quant_modules.py:410-423,
+469-481) and the Relay deploy twin
+(/root/reference/TVM_benchmark/models/layers.py:353-368).
+
+Spec notes (deliberate, applied identically in sim and deploy):
+* ``(r/2 − x0)·2^(n−q)`` is computed as ``(r − 2·x0)·2^(n−q−1)`` so the
+  value stays integral until the final floor.
+* Results saturate at 2^31−1 (the reference only clamps the *sum*
+  downstream; on real int32 lanes saturation must happen here).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .interp import Interp
+
+_I32_MAX = 2.0**31 - 1.0
+
+
+def int_exp_shift(q: jax.Array, scale: jax.Array, n: int, interp: Interp):
+    """Integer shift-exp of integer values ``q`` held at ``scale``.
+
+    Returns ``(exp_int, exp_scale)`` with ``exp_scale = scale / 2^n``.
+    """
+    scale = jax.lax.stop_gradient(scale)
+    # x * log2(e) ~= x + x>>1 - x>>4 (exact: q/2 and q/16 are exact in f32)
+    q = q + interp.floor(q / 2.0) - interp.floor(q / 16.0)
+
+    # x0 = floor(-1/scale): the integer representing -1 (negative).
+    x0 = jnp.floor(-1.0 / scale)
+    q = jnp.maximum(q, n * x0)
+
+    qt = interp.floor(q / x0)          # quotient (>= 0 for q <= 0)
+    r = q - x0 * qt                    # remainder in (x0, 0]
+    # (r/2 - x0) * 2^(n-qt) == (r - 2*x0) * 2^(n-qt-1)
+    exp_int = interp.floor((r - 2.0 * x0) * jnp.exp2(n - 1.0 - qt))
+    exp_int = interp.clip(exp_int, 0.0, _I32_MAX)
+    return exp_int, scale / (2.0**n)

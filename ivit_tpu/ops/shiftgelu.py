@@ -1,0 +1,46 @@
+"""ShiftGELU: integer-only GELU via the sigmoid approximation.
+
+``GELU(x) ≈ x · σ(1.702·x)``; the sigmoid is computed as a two-term
+shift-exp softmax: ``σ(x) = e^{x−m} / (e^{x−m} + e^{−m})`` with
+``m = max(x)`` over the last axis.
+
+Reference: IntGELU
+(/root/reference/models/quantization_utils/quant_modules.py:389-445) and
+the Relay twin (/root/reference/TVM_benchmark/models/layers.py:389-403).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .interp import DEPLOY, Interp
+from .shiftexp import int_exp_shift
+
+_I32_MAX = 2.0**31 - 1.0
+
+
+def shiftgelu(
+    q: jax.Array,
+    scale: jax.Array,
+    out_bits: int = 8,
+    n: int = 23,
+    interp: Interp = DEPLOY,
+):
+    """Integer GELU. Returns ``(q_out, scale_out)``,
+    ``scale_out = scale / 2^(out_bits−1)``."""
+    sig_scale = jax.lax.stop_gradient(scale) * 1.702
+
+    q_max = jnp.max(q, axis=-1, keepdims=True)
+    q_shifted = q - q_max
+
+    exp_int, _ = int_exp_shift(q_shifted, sig_scale, n, interp)      # e^(x-max)
+    exp_max, _ = int_exp_shift(-q_max, sig_scale, n, interp)          # e^(-max)
+    exp_sum = interp.clip(exp_int + exp_max, 1.0, _I32_MAX)
+
+    factor = interp.floor(_I32_MAX / exp_sum)
+    sigmoid_int = interp.floor(exp_int * factor / 2.0 ** (32 - out_bits))
+
+    q_out = q * sigmoid_int
+    scale_out = scale * (1.0 / 2.0 ** (out_bits - 1))
+    return q_out, scale_out
