@@ -1,0 +1,26 @@
+"""Model registry: name → factory.
+
+Analogue of the reference ``str2model`` dict
+(/root/reference/quant_train.py:141-150); Swin entries are added by
+``models/swin.py`` when it registers itself.
+"""
+
+from __future__ import annotations
+
+from . import vit
+
+MODEL_REGISTRY = {
+    "deit_tiny": vit.deit_tiny_patch16_224,
+    "deit_small": vit.deit_small_patch16_224,
+    "deit_base": vit.deit_base_patch16_224,
+    "vit_base": vit.vit_base_patch16_224,
+    "vit_large": vit.vit_large_patch16_224,
+}
+
+
+def create_model(name: str, **kwargs):
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name](**kwargs)

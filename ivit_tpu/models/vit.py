@@ -1,0 +1,124 @@
+"""Integer-only Vision Transformer (DeiT / ViT).
+
+TPU-native rebuild of the reference model
+(/root/reference/models/vit_quant.py:146-282): the same
+scale-propagation graph — input QuantAct → patch embed → cls concat
+(shares the patch scale, vit_quant.py:259-262) → pos-embed quantized
+separately then residual-merged (vit_quant.py:264-265) → N pre-norm
+blocks → I-LayerNorm → CLS token → QuantAct → quantized head.
+
+Inputs are NHWC float images; output logits are float (the reference
+likewise dequantizes only at the head output, vit_quant.py:278-282).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.qtensor import QTensor
+from ..nn.quant import IntLayerNorm, QuantAct, QuantLinear, QuantPatchEmbed
+from ..nn.vit_blocks import Block
+from ..ops import SIM, Interp
+
+
+class VisionTransformer(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    interp: Interp = SIM
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        it = self.interp
+        B = images.shape[0]
+        num_patches = (self.img_size // self.patch_size) ** 2
+
+        x = QuantAct(8, interp=it, name="qact_input")(images, update_stats=train)
+        x = QuantPatchEmbed(
+            patch_size=self.patch_size,
+            features=self.embed_dim,
+            interp=it,
+            name="patch_embed",
+        )(x)
+        x = QuantAct(16, interp=it, name="qact_embed")(x, update_stats=train)
+
+        # cls token is concatenated sharing the patch scale: quantize it
+        # at the current scale (vit_quant.py:259-262).
+        cls_token = self.param(
+            "cls_token",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, 1, self.embed_dim),
+            jnp.float32,
+        )
+        cls_q = jnp.round(cls_token / x.scale)
+        cls_q = jnp.broadcast_to(cls_q, (B, 1, self.embed_dim))
+        x = x.replace(q=jnp.concatenate([cls_q, x.q], axis=1))
+
+        # Positional embedding quantized at its own scale, then merged via
+        # the dual-scale residual requant (vit_quant.py:264-265).
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, num_patches + 1, self.embed_dim),
+            jnp.float32,
+        )
+        pos = QuantAct(16, interp=it, name="qact_pos")(pos_embed, update_stats=train)
+        x = QuantAct(16, interp=it, name="qact1")(
+            x, identity=pos.replace(q=jnp.broadcast_to(pos.q, x.shape)),
+            update_stats=train,
+        )
+
+        # Stochastic-depth decay rule; numpy (not jnp) so the per-block
+        # rates stay static Python floats under jit.
+        dpr = [
+            float(r) for r in np.linspace(0.0, self.drop_path_rate, self.depth)
+        ]
+        for i in range(self.depth):
+            x = Block(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path_rate=dpr[i],
+                interp=it,
+                name=f"blocks_{i}",
+            )(x, train=train)
+
+        x = IntLayerNorm(self.embed_dim, interp=it, name="norm")(x)
+        x = x.replace(q=x.q[:, 0])  # CLS token
+        x = QuantAct(8, interp=it, name="qact2")(x, update_stats=train)
+        logits = QuantLinear(self.num_classes, interp=it, name="head")(x)
+        return logits.dequantize()
+
+
+# Factory configs mirror /root/reference/models/vit_quant.py:285-381.
+deit_tiny_patch16_224 = partial(
+    VisionTransformer, embed_dim=192, depth=12, num_heads=3
+)
+deit_small_patch16_224 = partial(
+    VisionTransformer, embed_dim=384, depth=12, num_heads=6
+)
+deit_base_patch16_224 = partial(
+    VisionTransformer, embed_dim=768, depth=12, num_heads=12
+)
+vit_base_patch16_224 = partial(
+    VisionTransformer, embed_dim=768, depth=12, num_heads=12
+)
+vit_large_patch16_224 = partial(
+    VisionTransformer, embed_dim=1024, depth=24, num_heads=16
+)
