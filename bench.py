@@ -1,0 +1,155 @@
+"""Headline benchmark: DeiT-S INT8 inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Reference benchmark (SURVEY.md §6): the repo ships a TVM latency harness
+(batch 1, RTX 2080Ti, 50k tuning trials) but commits no absolute number;
+the paper's headline claim is a 3.72×(DeiT-S)–4.11× INT8-over-FP32
+speedup on that GPU. With no absolute baseline to beat, we normalize the
+same way the paper does: measure our INT8 engine against an FP32 forward
+of the identical architecture on the identical chip, and report
+
+    vs_baseline = (our INT8 speedup over FP32) / 3.72
+
+so vs_baseline ≥ 1.0 means we beat the reference's own headline metric
+like-for-like. The absolute img/s/chip is the primary value.
+
+Weights are random (the reference latency harness also runs random int8
+params — TVM_benchmark/models/utils.py:118-183); latency is
+weight-agnostic.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivit_tpu.deploy import build_vit_infer, freeze_vit
+from ivit_tpu.models import create_model
+
+BATCH = 128
+ITERS = 30
+REF_SPEEDUP = 3.72  # paper's DeiT-S INT8-over-FP32 claim (see docstring)
+
+
+def _float_vit_infer(artifact):
+    """Plain f32/bf16 ViT forward from the dequantized artifact weights —
+    the FP32 baseline the speedup is measured against."""
+    cfg = artifact["config"]
+    D, H = cfg["embed_dim"], cfg["num_heads"]
+    hd = D // H
+    p = cfg["patch_size"]
+
+    def deq(layer):
+        w = layer["w"].astype(np.float32) * (
+            layer["out_scale"] / np.float32(1.0)
+        )
+        # out_scale = w_scale * in_scale; recover w_float = w_int * w_scale
+        # only up to in_scale — for latency purposes exact values are
+        # irrelevant, shapes/dtypes are what's timed.
+        b = layer.get("b")
+        b = b.astype(np.float32) if b is not None else None
+        return jnp.asarray(w, jnp.bfloat16), (
+            jnp.asarray(b, jnp.bfloat16) if b is not None else None
+        )
+
+    weights = {
+        "patch": deq(artifact["patch_embed"]),
+        "pos": jnp.asarray(artifact["pos_q"], jnp.bfloat16),
+        "cls": jnp.asarray(artifact["cls_q"], jnp.bfloat16),
+        "blocks": [
+            {k: deq(blk[k]) for k in ("qkv", "proj", "fc1", "fc2")}
+            for blk in artifact["blocks"]
+        ],
+        "head": deq(artifact["head"]),
+    }
+
+    def ln(x):
+        m = jnp.mean(x, -1, keepdims=True)
+        v = jnp.var(x, -1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-6)
+
+    def infer(images):
+        B = images.shape[0]
+        gh = cfg["img_size"] // p
+        x = images.astype(jnp.bfloat16)
+        x = x.reshape(B, gh, p, gh, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gh, p * p * 3)
+        w, b = weights["patch"]
+        x = x @ w + b
+        cls = jnp.broadcast_to(weights["cls"], (B, 1, D))
+        x = jnp.concatenate([cls, x], 1) + weights["pos"]
+        for blk in weights["blocks"]:
+            y = ln(x)
+            w, b = blk["qkv"]
+            qkv = (y @ w + b).reshape(B, -1, 3, H, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = jax.nn.softmax(
+                (q @ k.transpose(0, 1, 3, 2)).astype(jnp.float32) * hd**-0.5, -1
+            ).astype(jnp.bfloat16)
+            ctx = (attn @ v).transpose(0, 2, 1, 3).reshape(B, -1, D)
+            w, b = blk["proj"]
+            x = x + (ctx @ w + b)
+            y = ln(x)
+            w, b = blk["fc1"]
+            y = jax.nn.gelu(y @ w + b)
+            w, b = blk["fc2"]
+            x = x + (y @ w + b)
+        x = ln(x)[:, 0]
+        w, b = weights["head"]
+        return (x @ w + b).astype(jnp.float32)
+
+    return infer
+
+
+def time_fn(fn, x, iters=ITERS):
+    out = fn(x)
+    jax.block_until_ready(out)  # compile + warmup
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    model = create_model("deit_small")
+    rng = jax.random.PRNGKey(0)
+    sample = jax.random.normal(rng, (2, 224, 224, 3))
+    # jit the init: eager init dispatches hundreds of ops one-by-one,
+    # which is pathological over a remote-TPU tunnel.
+    variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
+        jax.random.PRNGKey(1), sample
+    )
+    artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+
+    images = jax.random.normal(rng, (BATCH, 224, 224, 3))
+
+    int8_fn = jax.jit(build_vit_infer(artifact))
+    fp32_fn = jax.jit(_float_vit_infer(artifact))
+
+    t_int8 = time_fn(int8_fn, images)
+    t_fp32 = time_fn(fp32_fn, images)
+
+    img_s = BATCH / t_int8
+    speedup = t_fp32 / t_int8
+    print(
+        json.dumps(
+            {
+                "metric": "deit_small_int8_images_per_sec_per_chip",
+                "value": round(img_s, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(speedup / REF_SPEEDUP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Image transforms: the DeiT training recipe without timm/torchvision.
+
+Reproduces the pipeline the reference configures
+(/root/reference/quant_train.py:105-122 + utils/data_utils.py:61-92):
+train = RandomResizedCrop + flip + color-jitter 0.4 + RandAugment
+``rand-m9-mstd0.5-inc1`` + normalize + RandomErasing 0.25;
+eval = Resize(256) + CenterCrop(224) + normalize.
+
+Implemented on PIL + numpy (host side; the TPU never sees these ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_BICUBIC = Image.BICUBIC
+
+
+# ---------------------------------------------------------------- RandAugment
+# timm policy 'rand-m9-mstd0.5-inc1': 2 ops/image, magnitude ~N(9, 0.5·?)
+# with 'inc1' increasing-with-magnitude severity mappings, max level 10.
+
+_MAX_LEVEL = 10.0
+
+
+def _enhance_factor(level):
+    # inc1: factor grows away from identity with level
+    return 1.0 + (level / _MAX_LEVEL) * 0.9
+
+
+def _shear_arg(level):
+    return (level / _MAX_LEVEL) * 0.3
+
+
+def _translate_arg(level):
+    return (level / _MAX_LEVEL) * 0.45
+
+
+def _maybe_neg(v, rng):
+    return -v if rng.random() < 0.5 else v
+
+
+def _affine(img, matrix):
+    return img.transform(img.size, Image.AFFINE, matrix, resample=_BICUBIC)
+
+
+def _op_autocontrast(img, level, rng):
+    return ImageOps.autocontrast(img)
+
+
+def _op_equalize(img, level, rng):
+    return ImageOps.equalize(img)
+
+
+def _op_invert(img, level, rng):
+    return ImageOps.invert(img)
+
+
+def _op_rotate(img, level, rng):
+    deg = _maybe_neg((level / _MAX_LEVEL) * 30.0, rng)
+    return img.rotate(deg, resample=_BICUBIC)
+
+
+def _op_posterize(img, level, rng):
+    # inc: more bits removed at higher level, floor of 4 kept low levels
+    bits = 8 - int((level / _MAX_LEVEL) * 4)
+    return ImageOps.posterize(img, max(4, bits) if level < 5 else max(1, bits))
+
+
+def _op_solarize(img, level, rng):
+    thresh = 256 - int((level / _MAX_LEVEL) * 256)
+    return ImageOps.solarize(img, thresh)
+
+
+def _op_solarize_add(img, level, rng):
+    add = int((level / _MAX_LEVEL) * 110)
+    arr = np.asarray(img, np.int32)
+    arr = np.where(arr < 128, np.clip(arr + add, 0, 255), arr)
+    return Image.fromarray(arr.astype(np.uint8))
+
+
+def _op_color(img, level, rng):
+    f = _enhance_factor(level)
+    return ImageEnhance.Color(img).enhance(_maybe_neg(f - 1.0, rng) + 1.0)
+
+
+def _op_contrast(img, level, rng):
+    f = _enhance_factor(level)
+    return ImageEnhance.Contrast(img).enhance(_maybe_neg(f - 1.0, rng) + 1.0)
+
+
+def _op_brightness(img, level, rng):
+    f = _enhance_factor(level)
+    return ImageEnhance.Brightness(img).enhance(_maybe_neg(f - 1.0, rng) + 1.0)
+
+
+def _op_sharpness(img, level, rng):
+    f = _enhance_factor(level)
+    return ImageEnhance.Sharpness(img).enhance(_maybe_neg(f - 1.0, rng) + 1.0)
+
+
+def _op_shear_x(img, level, rng):
+    s = _maybe_neg(_shear_arg(level), rng)
+    return _affine(img, (1, s, 0, 0, 1, 0))
+
+
+def _op_shear_y(img, level, rng):
+    s = _maybe_neg(_shear_arg(level), rng)
+    return _affine(img, (1, 0, 0, s, 1, 0))
+
+
+def _op_translate_x(img, level, rng):
+    t = _maybe_neg(_translate_arg(level) * img.size[0], rng)
+    return _affine(img, (1, 0, t, 0, 1, 0))
+
+
+def _op_translate_y(img, level, rng):
+    t = _maybe_neg(_translate_arg(level) * img.size[1], rng)
+    return _affine(img, (1, 0, 0, 0, 1, t))
+
+
+_RAND_OPS = [
+    _op_autocontrast,
+    _op_equalize,
+    _op_invert,
+    _op_rotate,
+    _op_posterize,
+    _op_solarize,
+    _op_solarize_add,
+    _op_color,
+    _op_contrast,
+    _op_brightness,
+    _op_sharpness,
+    _op_shear_x,
+    _op_shear_y,
+    _op_translate_x,
+    _op_translate_y,
+]
+
+
+def rand_augment(img, rng, num_ops=2, magnitude=9.0, mag_std=0.5):
+    for _ in range(num_ops):
+        op = _RAND_OPS[rng.integers(len(_RAND_OPS))]
+        level = np.clip(rng.normal(magnitude, mag_std), 0, _MAX_LEVEL)
+        img = op(img, level, rng)
+    return img
+
+
+# ------------------------------------------------------------ crop / jitter
+
+
+def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        ar = np.exp(log_r)
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if cw <= w and ch <= h:
+            x0 = rng.integers(0, w - cw + 1)
+            y0 = rng.integers(0, h - ch + 1)
+            return img.resize((size, size), _BICUBIC, box=(x0, y0, x0 + cw, y0 + ch))
+    # fallback: center crop
+    s = min(w, h)
+    x0, y0 = (w - s) // 2, (h - s) // 2
+    return img.resize((size, size), _BICUBIC, box=(x0, y0, x0 + s, y0 + s))
+
+
+def color_jitter(img, rng, strength=0.4):
+    for enhancer in (
+        ImageEnhance.Brightness,
+        ImageEnhance.Contrast,
+        ImageEnhance.Color,
+    ):
+        f = 1.0 + rng.uniform(-strength, strength)
+        img = enhancer(img).enhance(max(0.0, f))
+    return img
+
+
+def random_erasing(arr, rng, prob=0.25, scale=(0.02, 1 / 3), ratio=(0.3, 3.3)):
+    """Per-pixel random erasing on the normalized CHW-free HWC array
+    (timm mode 'pixel')."""
+    if rng.random() >= prob:
+        return arr
+    h, w, c = arr.shape
+    area = h * w
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        ar = np.exp(log_r)
+        eh = int(round(np.sqrt(target / ar)))
+        ew = int(round(np.sqrt(target * ar)))
+        if eh < h and ew < w:
+            y0 = rng.integers(0, h - eh + 1)
+            x0 = rng.integers(0, w - ew + 1)
+            arr[y0 : y0 + eh, x0 : x0 + ew] = rng.normal(
+                size=(eh, ew, c)
+            ).astype(np.float32)
+            return arr
+    return arr
+
+
+# ---------------------------------------------------------------- pipelines
+
+
+def normalize(arr):
+    return (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def train_transform(
+    img: Image.Image,
+    rng: np.random.Generator,
+    size=224,
+    color_jitter_strength=0.4,
+    ra_magnitude=9.0,
+    ra_mag_std=0.5,
+    reprob=0.25,
+) -> np.ndarray:
+    """Full DeiT train transform → float32 HWC."""
+    img = img.convert("RGB")
+    img = random_resized_crop(img, rng, size)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if color_jitter_strength:
+        img = color_jitter(img, rng, color_jitter_strength)
+    img = rand_augment(img, rng, magnitude=ra_magnitude, mag_std=ra_mag_std)
+    arr = normalize(np.asarray(img, np.float32))
+    arr = random_erasing(arr, rng, prob=reprob)
+    return arr
+
+
+def eval_transform(img: Image.Image, size=224, crop_pct=None) -> np.ndarray:
+    """Resize(size/0.875) + center crop + normalize → float32 HWC
+    (utils/data_utils.py:78-92)."""
+    img = img.convert("RGB")
+    resize = int(size / (crop_pct or 0.875))
+    w, h = img.size
+    if w < h:
+        nw, nh = resize, int(resize * h / w)
+    else:
+        nw, nh = int(resize * w / h), resize
+    img = img.resize((nw, nh), _BICUBIC)
+    x0, y0 = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((x0, y0, x0 + size, y0 + size))
+    return normalize(np.asarray(img, np.float32))

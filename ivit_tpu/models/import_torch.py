@@ -1,0 +1,178 @@
+"""Pretrained checkpoint importers (torch state-dicts and Flax npz).
+
+The reference pulls DeiT/Swin torch checkpoints from fb/MS hub URLs with
+``strict=False`` (/root/reference/models/vit_quant.py:296-322,
+swin_quant.py:567-627) and Google-Brain augreg ``.npz`` files via a
+custom mapper (/root/reference/models/utils.py:10-163). Here the same
+public checkpoints map onto our parameter pytree:
+
+* torch linear ``weight`` is (out, in) → our ``kernel`` is (in, out);
+* the patch-embed conv ``weight`` (D, C, ph, pw) becomes the
+  space-to-depth matmul kernel (ph·pw·C, D) with row order (ph, pw, c)
+  — matching QuantPatchEmbed's patch flattening;
+* LayerNorm ``weight``/``bias`` → IntLayerNorm ``scale``/``bias``.
+
+Missing/extra keys are tolerated and logged (strict=False semantics).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import numpy as np
+
+
+def _to_numpy(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def torch_vit_to_params(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Map a (De)iT torch state-dict to our VisionTransformer param tree."""
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    params: dict = {}
+
+    def put(path, value):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    if "cls_token" in sd:
+        put(("cls_token",), sd["cls_token"])
+    if "pos_embed" in sd:
+        put(("pos_embed",), sd["pos_embed"])
+
+    if "patch_embed.proj.weight" in sd:
+        w = sd["patch_embed.proj.weight"]  # (D, C, ph, pw)
+        kernel = w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
+        put(("patch_embed", "proj", "kernel"), kernel)
+        put(("patch_embed", "proj", "bias"), sd["patch_embed.proj.bias"])
+
+    depth = 1 + max(
+        (int(k.split(".")[1]) for k in sd if k.startswith("blocks.")),
+        default=-1,
+    )
+    for i in range(depth):
+        src = f"blocks.{i}"
+        dst = f"blocks_{i}"
+        for norm in ("norm1", "norm2"):
+            put((dst, norm, "scale"), sd[f"{src}.{norm}.weight"])
+            put((dst, norm, "bias"), sd[f"{src}.{norm}.bias"])
+        put((dst, "attn", "qkv", "kernel"), sd[f"{src}.attn.qkv.weight"].T)
+        if f"{src}.attn.qkv.bias" in sd:
+            put((dst, "attn", "qkv", "bias"), sd[f"{src}.attn.qkv.bias"])
+        put((dst, "attn", "proj", "kernel"), sd[f"{src}.attn.proj.weight"].T)
+        put((dst, "attn", "proj", "bias"), sd[f"{src}.attn.proj.bias"])
+        put((dst, "mlp", "fc1", "kernel"), sd[f"{src}.mlp.fc1.weight"].T)
+        put((dst, "mlp", "fc1", "bias"), sd[f"{src}.mlp.fc1.bias"])
+        put((dst, "mlp", "fc2", "kernel"), sd[f"{src}.mlp.fc2.weight"].T)
+        put((dst, "mlp", "fc2", "bias"), sd[f"{src}.mlp.fc2.bias"])
+
+    if "norm.weight" in sd:
+        put(("norm", "scale"), sd["norm.weight"])
+        put(("norm", "bias"), sd["norm.bias"])
+    if "head.weight" in sd:
+        put(("head", "kernel"), sd["head.weight"].T)
+        put(("head", "bias"), sd["head.bias"])
+    return params
+
+
+def npz_vit_to_params(npz, depth: int) -> dict:
+    """Map an augreg Flax ``.npz`` ViT checkpoint (the
+    ``load_weights_from_npz`` analogue, models/utils.py:10-163)."""
+    g = dict(npz)
+    params: dict = {}
+
+    def put(path, value):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    put(("cls_token",), g["cls"])
+    put(("pos_embed",), g["Transformer/posembed_input/pos_embedding"])
+    w = g["embedding/kernel"]  # (ph, pw, C, D) already HWIO
+    put(("patch_embed", "proj", "kernel"), w.reshape(-1, w.shape[-1]))
+    put(("patch_embed", "proj", "bias"), g["embedding/bias"])
+
+    for i in range(depth):
+        src = f"Transformer/encoderblock_{i}"
+        dst = f"blocks_{i}"
+        put((dst, "norm1", "scale"), g[f"{src}/LayerNorm_0/scale"])
+        put((dst, "norm1", "bias"), g[f"{src}/LayerNorm_0/bias"])
+        put((dst, "norm2", "scale"), g[f"{src}/LayerNorm_2/scale"])
+        put((dst, "norm2", "bias"), g[f"{src}/LayerNorm_2/bias"])
+
+        att = f"{src}/MultiHeadDotProductAttention_1"
+        D = g[f"{att}/query/kernel"].shape[0]
+        qkv_k = np.concatenate(
+            [g[f"{att}/{n}/kernel"].reshape(D, D) for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [g[f"{att}/{n}/bias"].reshape(D) for n in ("query", "key", "value")]
+        )
+        put((dst, "attn", "qkv", "kernel"), qkv_k)
+        put((dst, "attn", "qkv", "bias"), qkv_b)
+        put((dst, "attn", "proj", "kernel"), g[f"{att}/out/kernel"].reshape(D, D))
+        put((dst, "attn", "proj", "bias"), g[f"{att}/out/bias"])
+
+        mlp = f"{src}/MlpBlock_3"
+        put((dst, "mlp", "fc1", "kernel"), g[f"{mlp}/Dense_0/kernel"])
+        put((dst, "mlp", "fc1", "bias"), g[f"{mlp}/Dense_0/bias"])
+        put((dst, "mlp", "fc2", "kernel"), g[f"{mlp}/Dense_1/kernel"])
+        put((dst, "mlp", "fc2", "bias"), g[f"{mlp}/Dense_1/bias"])
+
+    put(("norm", "scale"), g["Transformer/encoder_norm/scale"])
+    put(("norm", "bias"), g["Transformer/encoder_norm/bias"])
+    if "head/kernel" in g:
+        put(("head", "kernel"), g["head/kernel"])
+        put(("head", "bias"), g["head/bias"])
+    return params
+
+
+def merge_params(init_params: dict, loaded: dict, prefix=""):
+    """strict=False merge: loaded values override where shapes match."""
+    out = {}
+    for k, v in init_params.items():
+        if k in loaded:
+            if isinstance(v, dict):
+                out[k] = merge_params(v, loaded[k], f"{prefix}{k}/")
+            elif tuple(loaded[k].shape) == tuple(np.shape(v)):
+                out[k] = loaded[k]
+            else:
+                logging.warning(
+                    "shape mismatch at %s%s: ckpt %s vs model %s — keeping init",
+                    prefix, k, loaded[k].shape, np.shape(v),
+                )
+                out[k] = v
+        else:
+            logging.warning("missing in checkpoint: %s%s", prefix, k)
+            out[k] = v
+    return out
+
+
+def load_pretrained(path: str, model_name: str, init_params: dict) -> dict:
+    """Load a torch ``.pth``/``.pth.tar`` or Flax ``.npz`` checkpoint into
+    an initialized param tree."""
+    if path.endswith(".npz"):
+        depth = 1 + max(
+            int(k.split("_")[1]) for k in init_params if k.startswith("blocks_")
+        )
+        loaded = npz_vit_to_params(np.load(path), depth)
+    else:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        if model_name.startswith("swin"):
+            from .import_swin import torch_swin_to_params
+
+            loaded = torch_swin_to_params(sd)
+        else:
+            loaded = torch_vit_to_params(sd)
+    return merge_params(init_params, loaded)

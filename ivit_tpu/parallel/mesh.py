@@ -1,0 +1,105 @@
+"""Device mesh and sharding rules.
+
+TPU-native replacement for the reference's dormant NCCL/DDP plumbing
+(/root/reference/utils/utils.py:215-237, never invoked): instead of
+process-group bootstrap + DDP wrappers, we lay a 2-D ``(data, model)``
+mesh over the chips and let pjit/GSPMD insert the collectives.
+
+* ``data`` axis — batch parallelism: the gradient all-reduce the
+  reference's DDP would have done rides ICI automatically once the batch
+  is sharded on this axis.
+* ``model`` axis — tensor parallelism for the wide matmuls (qkv/proj and
+  MLP kernels sharded on the hidden dimension). Models at I-ViT scale
+  (≤ ViT-L, 307M params) fit on one chip, so ``model=1`` is the default;
+  the axis exists so larger deployments are a mesh-shape change, not a
+  code change (SURVEY.md §2.5).
+
+Sharding assignment is rule-based over parameter paths so model code
+stays sharding-agnostic (the "pick a mesh, annotate, let XLA insert
+collectives" recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-substring, PartitionSpec) — first match wins. Kernels are stored
+# (in, out): column-parallel layers shard the out axis, row-parallel
+# layers the in axis (Megatron-style pairing keeps the activation
+# all-reduce to one per block half).
+_PARAM_RULES = (
+    ("qkv/kernel", P(None, "model")),
+    ("qkv/bias", P("model")),
+    ("attn/proj/kernel", P("model", None)),
+    ("fc1/kernel", P(None, "model")),
+    ("fc1/bias", P("model")),
+    ("fc2/kernel", P("model", None)),
+    ("head/kernel", P(None, "model")),
+    ("head/bias", P("model")),
+)
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: shard the leading axis over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for(path: str, ndim: int, model_size: int) -> P:
+    if model_size > 1:
+        for frag, spec in _PARAM_RULES:
+            if frag in path and len(spec) <= ndim:
+                return spec
+    return P()
+
+
+def param_shardings(tree, mesh: Mesh):
+    """Pytree of NamedShardings for a parameter/state pytree.
+
+    With ``model=1`` everything is replicated (pure DP); with a wider
+    model axis the transformer kernels are tensor-parallel per
+    ``_PARAM_RULES``.
+    """
+    model_size = mesh.shape["model"]
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+
+    def _path_str(path) -> str:
+        parts = []
+        for e in path:
+            if hasattr(e, "key"):
+                parts.append(str(e.key))
+            elif hasattr(e, "name"):
+                parts.append(str(e.name))
+            elif hasattr(e, "idx"):
+                parts.append(str(e.idx))
+        return "/".join(parts)
+
+    def shard_one(path, leaf):
+        p = _path_str(path)
+        return NamedSharding(mesh, _spec_for(p, getattr(leaf, "ndim", 0), model_size))
+
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(tree),
+        [shard_one(path, leaf) for path, leaf in flat],
+    )

@@ -1,0 +1,49 @@
+"""Training state: params + quantization state + optimizer + EMA.
+
+The quantization EMA ranges (``quant_stats``) are first-class saved
+state, preserving the reference's "every scale is a named, serializable
+artifact" contract (SURVEY.md §1 coupling contract;
+/root/reference/models/quantization_utils/quant_modules.py:50-53,135).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    quant_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_params: Optional[Any] = None
+
+    def variables(self):
+        return {"params": self.params, "quant_stats": self.quant_stats}
+
+
+def create_train_state(
+    model,
+    rng,
+    sample_input,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
+) -> TrainState:
+    variables = model.init(rng, sample_input, train=True)
+    params = variables["params"]
+    return TrainState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        params=params,
+        quant_stats=variables["quant_stats"],
+        opt_state=tx.init(params),
+        # jnp.copy: EMA must not alias the live params (aliased buffers
+        # break donation in jitted steps).
+        ema_params=jax.tree.map(jax.numpy.copy, params) if ema_decay > 0 else None,
+        tx=tx,
+    )

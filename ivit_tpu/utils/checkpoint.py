@@ -1,0 +1,51 @@
+"""Checkpointing: params + quantization state + optimizer, via Orbax.
+
+The reference saves the best state_dict including integer/scale buffers
+(/root/reference/quant_train.py:256-261; SURVEY.md §5.4). Here the
+checkpoint is the full TrainState pytree — params, ``quant_stats`` EMA
+ranges (the scales), optimizer state, EMA params — so resume and deploy
+conversion both read one artifact.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, state, extra: dict | None = None):
+    """Serialize a TrainState (or any pytree) + metadata to ``path``."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "state": serialization.to_bytes(jax.tree.map(np.asarray, state)),
+        "extra": extra or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, target):
+    """Restore into the structure of ``target``; returns (state, extra)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = serialization.from_bytes(target, payload["state"])
+    return state, payload.get("extra", {})
+
+
+def save_artifact(path: str, artifact: dict):
+    """Persist a deploy artifact (the ``params.npy`` analogue,
+    /root/reference/TVM_benchmark/convert_model.py:66)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(artifact, f, protocol=4)
+
+
+def load_artifact(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)

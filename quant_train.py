@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""I-ViT QAT fine-tuning CLI (TPU-native).
+
+Preserves the reference's public surface and defaults
+(/root/reference/quant_train.py:23-138: --model/--data/--epochs/--lr,
+epochs 90, lr 1e-6, batch 128, adamw, cosine, min_lr forced to lr/15,
+DeiT augmentation recipe) — re-implemented on JAX: the train step is a
+jit-compiled pure function running the integer simulation graph with STE;
+the batch is sharded over the ``data`` axis of a device mesh, so the
+gradient all-reduce the reference's (dormant) DDP would do rides ICI via
+GSPMD (SURVEY.md §2.5).
+
+Example:
+    python quant_train.py --model deit_tiny --data /path/to/imagenet \
+        --epochs 30 --lr 5e-7
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_parser():
+    p = argparse.ArgumentParser("I-ViT QAT (TPU)")
+    p.add_argument("--model", default="deit_tiny",
+                   help="deit_tiny|deit_small|deit_base|vit_base|vit_large|"
+                        "swin_tiny|swin_small|swin_base")
+    p.add_argument("--data", metavar="DIR", default="/dataset/imagenet/")
+    p.add_argument("--data-set", default="IMNET",
+                   choices=["CIFAR100", "IMNET", "SYNTHETIC"])
+    p.add_argument("--nb-classes", default=1000, type=int)
+    p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--print-freq", default=1000, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--output-dir", type=str, default="results/")
+    p.add_argument("--resume", default="")
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("--batch-size", default=128, type=int)
+    p.add_argument("--epochs", default=90, type=int)
+    p.add_argument("--num-workers", default=8, type=int)
+    # regularization
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--drop-path", type=float, default=0.1)
+    # EMA
+    p.add_argument("--model-ema", action="store_true")
+    p.add_argument("--model-ema-decay", type=float, default=0.99996)
+    # optimizer
+    p.add_argument("--opt", default="adamw", type=str)
+    p.add_argument("--opt-eps", default=1e-8, type=float)
+    p.add_argument("--opt-betas", default=None, type=float, nargs="+")
+    p.add_argument("--clip-grad", type=float, default=None)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    # schedule
+    p.add_argument("--sched", default="cosine", type=str)
+    p.add_argument("--lr", type=float, default=1e-6)
+    p.add_argument("--warmup-lr", type=float, default=1e-6)
+    p.add_argument("--min-lr", type=float, default=5e-7)
+    p.add_argument("--warmup-epochs", type=int, default=0)
+    # augmentation
+    p.add_argument("--color-jitter", type=float, default=0.4)
+    p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--train-interpolation", type=str, default="bicubic")
+    p.add_argument("--repeated-aug", action="store_true")
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", type=str, default="pixel")
+    p.add_argument("--recount", type=int, default=1)
+    # mixup / cutmix
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--mixup-prob", type=float, default=1.0)
+    p.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    p.add_argument("--mixup-mode", type=str, default="batch")
+    p.add_argument("--best-acc1", type=float, default=0)
+    # TPU-native extras
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel axis size (data axis gets the rest)")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="path to a torch/npz checkpoint to import")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    # The reference forces min_lr = lr/15 (quant_train.py:202).
+    args.min_lr = args.lr / 15.0
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ivit_tpu.data import build_dataset, build_dataloaders
+    from ivit_tpu.models import create_model
+    from ivit_tpu.parallel import data_sharding, make_mesh, param_shardings
+    from ivit_tpu.train import (
+        cosine_schedule,
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        mixup_cutmix,
+    )
+    from ivit_tpu.train.augment import MixupConfig
+    from ivit_tpu.utils import MetricLogger, load_checkpoint, save_checkpoint
+    from ivit_tpu.utils.metrics import AverageMeter
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(args.output_dir, "log.log")),
+        ],
+        force=True,
+    )
+    logging.info(str(args))
+
+    np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    ds_train = build_dataset(args.data_set, args.data, True,
+                             args.input_size, args.nb_classes)
+    ds_val = build_dataset(args.data_set, args.data, False,
+                           args.input_size, args.nb_classes)
+    train_loader, val_loader = build_dataloaders(args, ds_train, ds_val)
+
+    model = create_model(
+        args.model,
+        num_classes=args.nb_classes,
+        img_size=args.input_size,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+    )
+
+    steps_per_epoch = max(1, len(train_loader))
+    sched = cosine_schedule(
+        args.lr, steps_per_epoch, args.epochs,
+        warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr,
+    )
+    betas = tuple(args.opt_betas) if args.opt_betas else (0.9, 0.999)
+    if args.opt == "adamw":
+        tx = optax.adamw(sched, b1=betas[0], b2=betas[1],
+                         eps=args.opt_eps, weight_decay=args.weight_decay)
+    elif args.opt == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(args.weight_decay),
+            optax.sgd(sched, momentum=args.momentum),
+        )
+    else:
+        raise ValueError(f"unknown optimizer {args.opt!r}")
+
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.float32)
+    ema_decay = args.model_ema_decay if args.model_ema else 0.0
+    state = create_train_state(model, rng, sample, tx, ema_decay=ema_decay)
+
+    if args.pretrained:
+        from ivit_tpu.models.import_torch import load_pretrained
+
+        state = state.replace(
+            params=load_pretrained(args.pretrained, args.model, state.params)
+        )
+        logging.info("imported pretrained weights from %s", args.pretrained)
+
+    start_epoch, best_acc1 = args.start_epoch, args.best_acc1
+    ckpt_path = os.path.join(args.output_dir, "checkpoint.pkl")
+    if args.resume:
+        state, extra = load_checkpoint(args.resume, state)
+        start_epoch = extra.get("epoch", 0) + 1
+        best_acc1 = extra.get("best_acc1", 0.0)
+        logging.info("resumed from %s at epoch %d", args.resume, start_epoch)
+
+    mesh = make_mesh(model=args.mesh_model)
+    state = jax.device_put(state, param_shardings(state, mesh))
+    dsh = data_sharding(mesh)
+
+    train_step = jax.jit(
+        make_train_step(model, ema_decay=ema_decay, grad_clip=args.clip_grad),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_eval_step(model))
+
+    mix_cfg = MixupConfig(
+        mixup_alpha=args.mixup,
+        cutmix_alpha=args.cutmix,
+        switch_prob=args.mixup_switch_prob,
+        label_smoothing=args.smoothing,
+        num_classes=args.nb_classes,
+    )
+    use_mixup = args.mixup > 0 or args.cutmix > 0
+    mix_fn = jax.jit(lambda r, im, lb: mixup_cutmix(r, im, lb, mix_cfg))
+    onehot_fn = jax.jit(
+        lambda lb: jax.nn.one_hot(lb, args.nb_classes)
+        * (1 - args.smoothing)
+        + args.smoothing / args.nb_classes
+    )
+
+    def validate(epoch):
+        variables = {"params": state.params, "quant_stats": state.quant_stats}
+        acc1 = AverageMeter("acc1")
+        acc5 = AverageMeter("acc5")
+        for images, labels in val_loader:
+            n = images.shape[0]
+            pad = -n % mesh.shape["data"]
+            if pad:
+                images = np.concatenate([images, images[:pad]])
+                labels = np.concatenate([labels, labels[:pad]])
+            m = eval_step(
+                variables,
+                jax.device_put(images, dsh),
+                jax.device_put(labels, dsh),
+            )
+            acc1.update(float(m["acc1"]), n)
+            acc5.update(float(m["acc5"]), n)
+        logging.info(
+            "epoch %d  val acc@1 %.3f  acc@5 %.3f", epoch, acc1.avg, acc5.avg
+        )
+        return acc1.avg
+
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger(
+            len(train_loader), prefix=f"epoch {epoch} ", print_freq=args.print_freq
+        )
+        t0 = time.time()
+        for i, (images, labels) in enumerate(train_loader):
+            step_rng, k_mix, k_drop = jax.random.split(step_rng, 3)
+            images = jax.device_put(images, dsh)
+            labels = jax.device_put(jnp.asarray(labels), dsh)
+            if use_mixup:
+                images, targets = mix_fn(k_mix, images, labels)
+            else:
+                targets = onehot_fn(labels)
+            state, metrics = train_step(state, images, targets, k_drop)
+            logger.update(loss=float(metrics["loss"]), acc1=float(metrics["acc1"]))
+            logger.log(i)
+        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+
+        acc1 = validate(epoch)
+        if acc1 > best_acc1:
+            best_acc1 = acc1
+            save_checkpoint(
+                ckpt_path, state, {"epoch": epoch, "best_acc1": best_acc1}
+            )
+        logging.info("best acc@1: %.3f", best_acc1)
+
+    return best_acc1
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""QAT-sim ↔ deploy-engine consistency (SURVEY.md §4b).
+
+The analogue of the reference's QAT↔TVM smoke test
+(/root/reference/TVM_benchmark/evaluate_accuracy.py) — but automated and
+quantitative: the frozen int8 engine must reproduce the simulator's
+logits on the same inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivit_tpu.deploy import build_vit_infer, freeze_vit
+from ivit_tpu.models import VisionTransformer
+
+
+def trained_tiny(rng_seed=0, steps=3):
+    """Init a tiny model and run a few stat-updating passes so the EMA
+    ranges are realistic (non-degenerate) before freezing."""
+    model = VisionTransformer(
+        img_size=16, patch_size=8, num_classes=8,
+        embed_dim=32, depth=2, num_heads=4,
+    )
+    rng = jax.random.PRNGKey(rng_seed)
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(1), x, train=True)
+    for i in range(steps):
+        xi = jax.random.normal(jax.random.PRNGKey(10 + i), (4, 16, 16, 3))
+        _, upd = variables_apply = model.apply(
+            variables, xi, train=True, mutable=["quant_stats"]
+        )
+        variables = {"params": variables["params"], **upd}
+    return model, variables
+
+
+class TestDeployParity:
+    def test_sim_deploy_logits_match(self):
+        model, variables = trained_tiny()
+        x = jax.random.normal(jax.random.PRNGKey(42), (4, 16, 16, 3))
+
+        sim_logits = np.asarray(model.apply(variables, x, train=False))
+
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        infer = jax.jit(build_vit_infer(artifact))
+        dep_logits = np.asarray(infer(x))
+
+        assert dep_logits.shape == sim_logits.shape
+        # Bit-parity by construction up to 1-ulp ratio rounding; allow a
+        # couple of LSBs of the head output scale.
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(
+            dep_logits, sim_logits, atol=3 * head_scale, rtol=0
+        )
+        np.testing.assert_array_equal(
+            np.argmax(dep_logits, -1), np.argmax(sim_logits, -1)
+        )
+
+    def test_artifact_dtypes(self):
+        model, variables = trained_tiny()
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        assert artifact["patch_embed"]["w"].dtype == np.int8
+        assert artifact["patch_embed"]["b"].dtype == np.int32
+        for blk in artifact["blocks"]:
+            assert blk["qkv"]["w"].dtype == np.int8
+            assert blk["fc2"]["b"].dtype == np.int32
+            assert blk["norm1"]["out_scale"].dtype == np.float32
+
+    def test_deploy_deterministic(self):
+        model, variables = trained_tiny()
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        infer = jax.jit(build_vit_infer(artifact))
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 3))
+        a = np.asarray(infer(x))
+        b = np.asarray(infer(x))
+        np.testing.assert_array_equal(a, b)

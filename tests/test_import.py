@@ -1,0 +1,144 @@
+"""Checkpoint importer tests: torch state-dict and npz mapping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ivit_tpu.models import VisionTransformer
+from ivit_tpu.models.import_torch import (
+    merge_params,
+    npz_vit_to_params,
+    torch_vit_to_params,
+)
+
+
+def fake_torch_sd(D=32, depth=2, heads=4, p=8, img=16, classes=8):
+    rng = np.random.default_rng(0)
+    n_patch = (img // p) ** 2
+
+    def t(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    sd = {
+        "cls_token": t(1, 1, D),
+        "pos_embed": t(1, n_patch + 1, D),
+        "patch_embed.proj.weight": t(D, 3, p, p),
+        "patch_embed.proj.bias": t(D),
+        "norm.weight": t(D),
+        "norm.bias": t(D),
+        "head.weight": t(classes, D),
+        "head.bias": t(classes),
+    }
+    for i in range(depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": t(D),
+            f"blocks.{i}.norm1.bias": t(D),
+            f"blocks.{i}.norm2.weight": t(D),
+            f"blocks.{i}.norm2.bias": t(D),
+            f"blocks.{i}.attn.qkv.weight": t(3 * D, D),
+            f"blocks.{i}.attn.qkv.bias": t(3 * D),
+            f"blocks.{i}.attn.proj.weight": t(D, D),
+            f"blocks.{i}.attn.proj.bias": t(D),
+            f"blocks.{i}.mlp.fc1.weight": t(4 * D, D),
+            f"blocks.{i}.mlp.fc1.bias": t(4 * D),
+            f"blocks.{i}.mlp.fc2.weight": t(D, 4 * D),
+            f"blocks.{i}.mlp.fc2.bias": t(4 * D)[:D],
+        })
+    return sd
+
+
+class TestTorchImport:
+    def test_mapping_and_apply(self):
+        model = VisionTransformer(
+            img_size=16, patch_size=8, num_classes=8,
+            embed_dim=32, depth=2, num_heads=4,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=True)
+
+        sd = fake_torch_sd()
+        loaded = torch_vit_to_params(sd)
+        params = merge_params(variables["params"], loaded)
+
+        # kernel transposition: torch (out, in) → ours (in, out)
+        np.testing.assert_array_equal(
+            np.asarray(params["blocks_0"]["attn"]["qkv"]["kernel"]),
+            sd["blocks.0.attn.qkv.weight"].T,
+        )
+        # conv → space-to-depth matmul kernel, row order (ph, pw, c)
+        w = sd["patch_embed.proj.weight"]
+        np.testing.assert_array_equal(
+            np.asarray(params["patch_embed"]["proj"]["kernel"]),
+            w.transpose(2, 3, 1, 0).reshape(-1, 32),
+        )
+
+        logits = model.apply(
+            {"params": params, "quant_stats": variables["quant_stats"]}, x
+        )
+        assert logits.shape == (2, 8)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_patch_kernel_order_matches_conv_semantics(self):
+        """Torch conv on an image == our space-to-depth matmul with the
+        imported kernel (float oracle, no quantization)."""
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(1, 16, 16, 3)).astype(np.float32)
+        w = rng.normal(size=(5, 3, 8, 8)).astype(np.float32)
+
+        ref = F.conv2d(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(w),
+            stride=8,
+        ).numpy()  # (1, 5, 2, 2)
+        ref = ref.transpose(0, 2, 3, 1).reshape(1, 4, 5)
+
+        kernel = w.transpose(2, 3, 1, 0).reshape(-1, 5)
+        x = img.reshape(1, 2, 8, 2, 8, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(1, 4, 8 * 8 * 3)
+        ours = x @ kernel
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_npz_import(self):
+        D, depth = 32, 2
+        rng = np.random.default_rng(0)
+
+        def t(*shape):
+            return rng.normal(size=shape).astype(np.float32)
+
+        g = {
+            "cls": t(1, 1, D),
+            "Transformer/posembed_input/pos_embedding": t(1, 5, D),
+            "embedding/kernel": t(8, 8, 3, D),
+            "embedding/bias": t(D),
+            "Transformer/encoder_norm/scale": t(D),
+            "Transformer/encoder_norm/bias": t(D),
+            "head/kernel": t(D, 8),
+            "head/bias": t(8),
+        }
+        for i in range(depth):
+            src = f"Transformer/encoderblock_{i}"
+            att = f"{src}/MultiHeadDotProductAttention_1"
+            g.update({
+                f"{src}/LayerNorm_0/scale": t(D),
+                f"{src}/LayerNorm_0/bias": t(D),
+                f"{src}/LayerNorm_2/scale": t(D),
+                f"{src}/LayerNorm_2/bias": t(D),
+                f"{att}/query/kernel": t(D, 4, D // 4),
+                f"{att}/key/kernel": t(D, 4, D // 4),
+                f"{att}/value/kernel": t(D, 4, D // 4),
+                f"{att}/query/bias": t(4, D // 4),
+                f"{att}/key/bias": t(4, D // 4),
+                f"{att}/value/bias": t(4, D // 4),
+                f"{att}/out/kernel": t(4, D // 4, D),
+                f"{att}/out/bias": t(D),
+                f"{src}/MlpBlock_3/Dense_0/kernel": t(D, 4 * D),
+                f"{src}/MlpBlock_3/Dense_0/bias": t(4 * D),
+                f"{src}/MlpBlock_3/Dense_1/kernel": t(4 * D, D),
+                f"{src}/MlpBlock_3/Dense_1/bias": t(D),
+            })
+        params = npz_vit_to_params(g, depth)
+        assert params["blocks_0"]["attn"]["qkv"]["kernel"].shape == (D, 3 * D)
+        assert params["patch_embed"]["proj"]["kernel"].shape == (8 * 8 * 3, D)

@@ -1,0 +1,127 @@
+"""Train-step + mesh-sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4e — something the reference never had)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ivit_tpu.models import VisionTransformer
+from ivit_tpu.parallel import data_sharding, make_mesh, param_shardings
+from ivit_tpu.train import (
+    create_train_state,
+    cosine_schedule,
+    make_eval_step,
+    make_train_step,
+    mixup_cutmix,
+)
+from ivit_tpu.train.augment import MixupConfig
+
+
+def tiny_model():
+    return VisionTransformer(
+        img_size=16, patch_size=8, num_classes=8,
+        embed_dim=32, depth=1, num_heads=4,
+    )
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (16, 16, 16, 3))
+        targets = jax.nn.one_hot(jax.random.randint(rng, (16,), 0, 8), 8)
+        tx = optax.adamw(5e-3)
+        state = create_train_state(model, rng, images[:1], tx)
+        step = jax.jit(make_train_step(model))
+
+        first = None
+        for i in range(30):
+            state, metrics = step(state, images, targets, jax.random.PRNGKey(i))
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_ema_and_clip(self):
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (4, 16, 16, 3))
+        targets = jax.nn.one_hot(jnp.zeros((4,), jnp.int32), 8)
+        tx = optax.adamw(1e-3)
+        state = create_train_state(model, rng, images[:1], tx, ema_decay=0.9)
+        step = jax.jit(make_train_step(model, ema_decay=0.9, grad_clip=0.5))
+        new_state, _ = step(state, images, targets, rng)
+        # EMA moved towards new params but is not equal to them.
+        diffs = jax.tree.map(
+            lambda e, p: float(jnp.abs(e - p).max()),
+            new_state.ema_params,
+            new_state.params,
+        )
+        assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_eval_step(self):
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (8, 16, 16, 3))
+        labels = jax.random.randint(rng, (8,), 0, 8)
+        variables = model.init(rng, images, train=True)
+        metrics = jax.jit(make_eval_step(model))(variables, images, labels)
+        assert 0.0 <= float(metrics["acc1"]) <= 100.0
+        assert float(metrics["acc5"]) >= float(metrics["acc1"])
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        mesh = make_mesh(data=4, model=2)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    def test_dp_train_step_on_mesh(self):
+        mesh = make_mesh(data=8, model=1)
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (16, 16, 16, 3))
+        targets = jax.nn.one_hot(jax.random.randint(rng, (16,), 0, 8), 8)
+        tx = optax.adamw(1e-3)
+        state = create_train_state(model, rng, images[:1], tx)
+
+        state = jax.device_put(state, param_shardings(state, mesh))
+        images = jax.device_put(images, data_sharding(mesh))
+        targets = jax.device_put(targets, data_sharding(mesh))
+        step = jax.jit(make_train_step(model))
+        new_state, metrics = step(state, images, targets, rng)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_tp_kernels_sharded(self):
+        mesh = make_mesh(data=4, model=2)
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (8, 16, 16, 3))
+        state_params = model.init(rng, images[:1], train=True)["params"]
+        shardings = param_shardings(state_params, mesh)
+        fc1 = shardings["blocks_0"]["mlp"]["fc1"]["kernel"]
+        assert fc1.spec == jax.sharding.PartitionSpec(None, "model")
+        cls = shardings["cls_token"]
+        assert cls.spec == jax.sharding.PartitionSpec()
+
+    def test_graft_entry_dryrun(self):
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
+
+
+class TestAugment:
+    def test_mixup_preserves_target_mass(self):
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (8, 16, 16, 3))
+        labels = jax.random.randint(rng, (8,), 0, 10)
+        cfg = MixupConfig(num_classes=10)
+        out_img, out_tgt = mixup_cutmix(rng, images, labels, cfg)
+        assert out_img.shape == images.shape
+        np.testing.assert_allclose(np.sum(np.array(out_tgt), -1), 1.0, rtol=1e-5)
+
+    def test_schedule_warmup_and_floor(self):
+        sched = cosine_schedule(1e-3, steps_per_epoch=10, epochs=10, warmup_epochs=2)
+        assert float(sched(0)) < 1e-4
+        assert float(sched(20)) == pytest.approx(1e-3, rel=1e-3)
+        assert float(sched(100)) == pytest.approx(1e-3 / 15, rel=1e-2)
