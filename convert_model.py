@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Convert a QAT checkpoint into a deployable integer artifact.
+
+Analogue of /root/reference/TVM_benchmark/convert_model.py: reads the
+trained state (params + frozen EMA ranges) and writes the int8/int32
+artifact the inference engine consumes.
+
+    python convert_model.py --model deit_small \
+        --checkpoint results/checkpoint.pkl --output results/artifact.pkl
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("I-ViT artifact converter")
+    p.add_argument("--model", default="deit_small")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", default="results/artifact.pkl")
+    p.add_argument("--nb-classes", default=1000, type=int)
+    p.add_argument("--input-size", default=224, type=int)
+    args = p.parse_args(argv)
+
+    from ivit_tpu.deploy import freeze_vit
+    from ivit_tpu.models import create_model
+    from ivit_tpu.utils import load_checkpoint_raw, save_artifact
+
+    model = create_model(
+        args.model, num_classes=args.nb_classes, img_size=args.input_size
+    )
+    # Only params + quant_stats are needed to freeze; the raw state-dict
+    # avoids reconstructing the training-time optimizer pytree.
+    raw, extra = load_checkpoint_raw(args.checkpoint)
+    variables = {"params": raw["params"], "quant_stats": raw["quant_stats"]}
+    artifact = freeze_vit(model, variables)
+    save_artifact(args.output, artifact)
+    print(f"wrote {args.output} (epoch {extra.get('epoch', '?')}, "
+          f"best_acc1 {extra.get('best_acc1', '?')})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Evaluate the integer-only engine's accuracy.
+
+Analogue of /root/reference/TVM_benchmark/evaluate_accuracy.py — but a
+full validation sweep instead of a single cat image.
+
+    python evaluate_accuracy.py --model deit_small \
+        --artifact results/artifact.pkl --data /path/to/imagenet
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("I-ViT int8 accuracy harness")
+    p.add_argument("--model", default="deit_small")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--data", default="/dataset/imagenet/")
+    p.add_argument("--data-set", default="IMNET",
+                   choices=["IMNET", "CIFAR100", "SYNTHETIC"])
+    p.add_argument("--batch-size", default=128, type=int)
+    p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--nb-classes", default=1000, type=int)
+    p.add_argument("--num-workers", default=8, type=int)
+    p.add_argument("--max-batches", default=0, type=int,
+                   help="0 = full validation set")
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ivit_tpu.data import DataLoader, build_dataset, eval_transform
+    from ivit_tpu.data.loader import ShuffleSampler
+    from ivit_tpu.deploy import build_vit_infer
+    from ivit_tpu.utils import load_artifact
+
+    artifact = load_artifact(args.artifact)
+    infer = jax.jit(build_vit_infer(artifact))
+
+    ds = build_dataset(args.data_set, args.data, False,
+                       args.input_size, args.nb_classes)
+    loader = DataLoader(
+        ds, args.batch_size,
+        lambda img, rng: eval_transform(img, size=args.input_size),
+        sampler=ShuffleSampler(len(ds), shuffle=False),
+        drop_last=False, num_workers=args.num_workers,
+    )
+
+    top1 = top5 = seen = 0
+    for b, (images, labels) in enumerate(loader):
+        if args.max_batches and b >= args.max_batches:
+            break
+        logits = np.asarray(infer(images))
+        order = np.argsort(logits, -1)
+        top1 += int((order[:, -1] == labels).sum())
+        top5 += int((order[:, -5:] == labels[:, None]).any(-1).sum())
+        seen += len(labels)
+        if b % 20 == 0:
+            print(f"[{seen}] top1 {100*top1/seen:.3f} top5 {100*top5/seen:.3f}")
+    print(f"FINAL top1 {100*top1/seen:.3f} top5 {100*top5/seen:.3f} over {seen}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Integer-only inference latency harness.
+
+Analogue of /root/reference/TVM_benchmark/evaluate_latency.py — XLA AOT
+compilation replaces the 50k-trial TVM auto-scheduler search; timing
+follows the same repeat/warm protocol (module.benchmark semantics).
+
+    python evaluate_latency.py --model deit_small --batch-size 1
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("I-ViT int8 latency harness")
+    p.add_argument("--model", default="deit_small")
+    p.add_argument("--artifact", default="",
+                   help="optional artifact; random weights if omitted "
+                        "(the reference harness also times random params)")
+    p.add_argument("--batch-size", default=1, type=int)
+    p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--nb-classes", default=1000, type=int)
+    p.add_argument("--repeat", default=100, type=int)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ivit_tpu.deploy import build_vit_infer, freeze_vit
+    from ivit_tpu.models import create_model
+    from ivit_tpu.utils import load_artifact
+
+    if args.artifact:
+        artifact = load_artifact(args.artifact)
+    else:
+        model = create_model(
+            args.model, num_classes=args.nb_classes, img_size=args.input_size
+        )
+        sample = jnp.zeros((1, args.input_size, args.input_size, 3))
+        variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
+            jax.random.PRNGKey(0), sample
+        )
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(args.batch_size, args.input_size, args.input_size, 3)
+        ),
+        jnp.float32,
+    )
+    # AOT compile (the relay.build analogue).
+    t0 = time.perf_counter()
+    compiled = jax.jit(build_vit_infer(artifact)).lower(images).compile()
+    print(f"compile: {time.perf_counter() - t0:.1f}s")
+
+    jax.block_until_ready(compiled(images))
+    t0 = time.perf_counter()
+    for _ in range(args.repeat):
+        out = compiled(images)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.repeat
+    print(
+        f"{args.model} int8 batch={args.batch_size}: "
+        f"{dt*1e3:.3f} ms/iter, {args.batch_size/dt:.1f} img/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,22 +2,22 @@
 
 Replaces the reference's Relay graph builder + auto-scheduled CUDA
 kernels (/root/reference/TVM_benchmark/models/quantized_vit.py:180-274,
-evaluate_latency.py:55-88) with an XLA/AOT-compiled integer graph:
+evaluate_latency.py:55-88) with an XLA/Pallas integer graph:
 
 * every weight matmul runs on the MXU's native int8 path
   (``lax.dot_general`` on int8 operands, int32 accumulation);
-* requantization is a fused VPU epilogue: int32 accumulator × static
-  float32 ratio → round → clip → int8 (the dyadic multiply+shift of
-  ``fixedpoint_mul``; ratios are compile-time constants so XLA folds and
-  fuses them into the matmul consumer);
-* the integer nonlinearities (Shiftmax, ShiftGELU, I-LayerNorm) are the
-  *same functions* the QAT simulator runs (``ivit_tpu.ops`` with the
-  DEPLOY interpreter) — one spec, two execution modes, no drift;
+* the attention-probabilities × V matmul (16-bit × 8-bit, no native MXU
+  mode) is decomposed base-256 into two int8 MXU matmuls plus a rank-1
+  correction — exact in int32, unlike the reference's float path;
+* the integer nonlinearity chains run as fused Pallas kernels
+  (``ivit_tpu.kernels``): requant→Shiftmax→split, requant→ShiftGELU→
+  requant, I-LayerNorm→requant — one VMEM pass each, bit-identical to
+  the pure-JAX ops they replace (tested);
+* requantization ratios are compile-time constants (the dyadic
+  multiply+shift of ``fixedpoint_mul`` with scales frozen), folded and
+  fused by XLA;
 * the only float op is the final logit dequantization, mirroring the
   reference (quantized_vit.py:265-271).
-
-The artifact's scales are captured as Python/numpy constants at trace
-time, so the compiled graph contains no scale recomputation at all.
 """
 
 from __future__ import annotations
@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels import (
+    fused_layernorm_requant,
+    fused_requant_shiftgelu,
+    fused_requant_shiftmax,
+)
 from ..ops import DEPLOY, int_layernorm, shiftgelu, shiftmax
 
 _INT8 = (-128, 127)
@@ -33,17 +38,13 @@ _INT16 = (-(2**15), 2**15 - 1)
 
 
 def _requant(acc, ratio, lo, hi, dtype):
-    """int32/f32 accumulator → integer at the target scale.
-
-    ``ratio`` is a static constant (scalar or per-channel row vector);
-    XLA fuses this whole epilogue into the producing matmul.
-    """
+    """Accumulator → integer at the target scale (static ``ratio``;
+    XLA fuses this epilogue into the producing matmul)."""
     y = jnp.round(acc.astype(jnp.float32) * ratio)
     return jnp.clip(y, lo, hi).astype(dtype)
 
 
 def _int8_matmul(x_int8, w_int8):
-    """MXU-native int8×int8→int32 matmul."""
     return jax.lax.dot_general(
         x_int8,
         w_int8,
@@ -56,25 +57,186 @@ def _linear(x_int8, layer):
     y = _int8_matmul(x_int8, jnp.asarray(layer["w"]))
     if "b" in layer:
         y = y + jnp.asarray(layer["b"])
-    return y  # int32 at scale layer["out_scale"] (per-channel)
+    return y  # int32 at per-channel scale layer["out_scale"]
 
 
-def build_vit_infer(artifact: dict):
+def _pad_axis(x, axis, target):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _layernorm_requant(x, norm, s_out, bits, lo, hi, use_pallas, interpret):
+    """I-LayerNorm (frozen γ/β) + requant. x: f32 carrier (..., C)."""
+    C = x.shape[-1]
+    ratio = (norm["out_scale"] / np.float32(s_out)).astype(np.float32)
+    if use_pallas and C % 128 == 0 and bits == 8:
+        flat = x.reshape(-1, C)
+        out = fused_layernorm_requant(
+            flat,
+            jnp.asarray(norm["bias_int"]),
+            jnp.asarray(ratio),
+            bits=bits,
+            interpret=interpret,
+        )
+        return out.reshape(x.shape)
+    y, _ = int_layernorm(
+        x, jnp.ones((C,)), jnp.zeros((C,)), interp=DEPLOY
+    )
+    y = y + jnp.asarray(norm["bias_int"])
+    return _requant(y, jnp.asarray(ratio), lo, hi, jnp.int8 if bits == 8 else jnp.float32)
+
+
+def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
+                    pallas_interpret: bool = False):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
-    All constants are baked at trace time; wrap the result in ``jax.jit``
-    (or AOT via ``.lower().compile()``) before timing.
+    ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
+    as the oracle in tests); ``None`` auto-enables Pallas off-CPU. Ops
+    whose shapes don't meet Pallas tiling fall back automatically.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
     cfg = artifact["config"]
     D, H = cfg["embed_dim"], cfg["num_heads"]
     hd = D // H
     p = cfg["patch_size"]
     qk_scale = float(hd) ** -0.5
+    interpret = pallas_interpret
+
+    def _block(x, s_x, blk, N):
+        B = x.shape[0]
+        C = D
+        Npad = -(-N // 128) * 128
+
+        # --- attention half ---
+        s1 = blk["s_qact1"]
+        y = _layernorm_requant(
+            x.astype(jnp.float32), blk["norm1"], s1, 8, *_INT8,
+            use_pallas, interpret,
+        )
+        if y.dtype != jnp.int8:
+            y = y.astype(jnp.int8)
+
+        qkv = blk["qkv"]
+        acc = _linear(y, qkv)
+        sa1 = blk["s_attn_qact1"]
+        z = _requant(acc, qkv["out_scale"] / sa1, *_INT8, jnp.int8)
+
+        z = z.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = z[0], z[1], z[2]
+
+        s_attn = sa1 * sa1 * qk_scale
+        ssm = blk["s_attn_sm_in"]
+        s_sm = 1.0 / 2.0**15
+
+        if use_pallas:
+            # pad the key/value token axis once; padded keys produce
+            # zero-probability columns inside the softmax kernel.
+            kp = _pad_axis(k, 2, Npad)
+            vp = _pad_axis(v, 2, Npad)
+            attn = jax.lax.dot_general(
+                q, kp,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            )  # (B, H, N, Npad)
+            hi8, lo8 = fused_requant_shiftmax(
+                attn.reshape(-1, Npad),
+                r1=float(s_attn / ssm),
+                scale=float(ssm),
+                n_valid=N,
+                out_bits=16,
+                interpret=interpret,
+            )
+            hi8 = hi8.reshape(B, H, N, Npad)
+            lo8 = lo8.reshape(B, H, N, Npad)
+            vmm = vp
+        else:
+            attn = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            )
+            a8 = _requant(attn, s_attn / ssm, *_INT8, jnp.float32)
+            sm, _ = shiftmax(a8, jnp.float32(ssm), out_bits=16, interp=DEPLOY)
+            hi8 = jnp.floor(sm / 256.0).astype(jnp.int8)
+            lo8 = (sm - jnp.floor(sm / 256.0) * 256.0 - 128.0).astype(jnp.int8)
+            vmm = v
+
+        # softmax(16b) @ v(8b): base-256 split → two int8 MXU matmuls +
+        # rank-1 correction, exact in int32.
+        dn = (((3,), (2,)), ((0, 1), (0, 1)))
+        ctx_hi = jax.lax.dot_general(
+            hi8, vmm, dimension_numbers=dn, preferred_element_type=jnp.int32
+        )
+        ctx_lo = jax.lax.dot_general(
+            lo8, vmm, dimension_numbers=dn, preferred_element_type=jnp.int32
+        )
+        v_sum = jnp.sum(vmm.astype(jnp.int32), axis=2, keepdims=True)
+        ctx = (256 * ctx_hi + ctx_lo + 128 * v_sum).astype(jnp.float32)
+        s_ctx = s_sm * sa1
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+        sao = blk["s_attn_out"]
+        ctx = _requant(ctx, s_ctx / sao, *_INT8, jnp.int8)
+
+        proj = blk["proj"]
+        acc = _linear(ctx, proj)
+        sap = blk["s_attn_proj"]
+        ctx = _requant(acc, proj["out_scale"] / sap, *_INT16, jnp.float32)
+
+        # residual merge (dual-scale 16-bit, vit_quant.py:135)
+        sr1 = blk["s_res1"]
+        x = jnp.clip(
+            jnp.round(ctx * (sap / sr1))
+            + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
+            *_INT16,
+        )
+        s_x = sr1
+
+        # --- MLP half ---
+        s3 = blk["s_qact3"]
+        y = _layernorm_requant(
+            x, blk["norm2"], s3, 8, *_INT8, use_pallas, interpret
+        )
+        if y.dtype != jnp.int8:
+            y = y.astype(jnp.int8)
+
+        fc1 = blk["fc1"]
+        acc = _linear(y, fc1)
+        sg_in = blk["s_gelu_in"]
+        sg_out = blk["s_gelu_out"]
+        Ch = acc.shape[-1]
+        s_g = sg_in / 2.0**7  # ShiftGELU output scale, out_bits=8
+
+        if use_pallas and Ch % 128 == 0:
+            g8 = fused_requant_shiftgelu(
+                acc.reshape(-1, Ch),
+                jnp.asarray((fc1["out_scale"] / np.float32(sg_in)).astype(np.float32)),
+                s_in=float(sg_in),
+                r2=float(s_g / sg_out),
+                out_bits=8,
+                interpret=interpret,
+            ).reshape(B, N, Ch)
+        else:
+            gq = _requant(acc, fc1["out_scale"] / sg_in, *_INT8, jnp.float32)
+            g, _ = shiftgelu(gq, jnp.float32(sg_in), out_bits=8, interp=DEPLOY)
+            g8 = _requant(g, s_g / sg_out, *_INT8, jnp.int8)
+
+        fc2 = blk["fc2"]
+        acc = _linear(g8, fc2)
+        smo = blk["s_mlp_out"]
+        m = _requant(acc, fc2["out_scale"] / smo, *_INT16, jnp.float32)
+
+        sr2 = blk["s_res2"]
+        x = jnp.clip(
+            jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
+            *_INT16,
+        )
+        return x, sr2
 
     def infer(images):
         B = images.shape[0]
-        # Host-side input quantization happens on-device here (the
-        # reference quantizes on host, evaluate_accuracy.py:58-61).
         s_in = artifact["input_scale"]
         x = jnp.clip(jnp.round(images / s_in), *_INT8).astype(jnp.int8)
 
@@ -87,7 +249,8 @@ def build_vit_infer(artifact: dict):
         s_embed = artifact["embed_scale"]
         x = _requant(acc, pe["out_scale"] / s_embed, *_INT16, jnp.int32)
 
-        # cls concat at the shared scale; pos-embed dual-scale merge.
+        # cls concat at the shared scale; pos-embed dual-scale merge
+        # (vit_quant.py:259-265).
         cls = jnp.broadcast_to(
             jnp.asarray(artifact["cls_q"], jnp.int32), (B, 1, D)
         )
@@ -100,125 +263,22 @@ def build_vit_infer(artifact: dict):
             jnp.round(x.astype(jnp.float32) * (s_embed / s_tok)) + pos,
             *_INT16,
         )
-        s_x = s_tok  # int16-valued f32 carrier, 16-bit range
+        s_x = s_tok
+        N = x.shape[1]
 
         for blk in artifact["blocks"]:
-            x, s_x = _block(x, s_x, blk, H, hd, qk_scale)
+            x, s_x = _block(x, s_x, blk, N)
 
-        # Final norm → CLS → head.
-        nz = artifact["norm"]
-        y, s_n = int_layernorm(
-            x,
-            jnp.ones((D,)),
-            jnp.zeros((D,)),
-            interp=DEPLOY,
-        )
-        # fold frozen γ/β: int_layernorm with unit affine, then apply the
-        # frozen per-channel scale/bias from the artifact.
-        y = y + jnp.asarray(nz["bias_int"])
-        s_n = jnp.asarray(nz["out_scale"])
-
-        y = y[:, 0]
+        # Final norm → CLS → head (the only float op is the last scale).
         s_head = artifact["head_in_scale"]
-        y = _requant(y, s_n / s_head, *_INT8, jnp.int8)
+        y = _layernorm_requant(
+            x, artifact["norm"], s_head, 8, *_INT8, use_pallas, interpret
+        )
+        if y.dtype != jnp.int8:
+            y = y.astype(jnp.int8)
+        y = y[:, 0]
         head = artifact["head"]
         logits = _linear(y, head)
         return logits.astype(jnp.float32) * head["out_scale"]
-
-    def _block(x, s_x, blk, H, hd, qk_scale):
-        B, N, D = x.shape
-        # --- attention half ---
-        n1 = blk["norm1"]
-        y, _ = int_layernorm(
-            x.astype(jnp.float32), jnp.ones((D,)), jnp.zeros((D,)), interp=DEPLOY
-        )
-        y = y + jnp.asarray(n1["bias_int"])
-        s_y = jnp.asarray(n1["out_scale"])
-
-        s1 = blk["s_qact1"]
-        y = _requant(y, s_y / s1, *_INT8, jnp.int8)
-
-        qkv = blk["qkv"]
-        acc = _linear(y, qkv)
-        sa1 = blk["s_attn_qact1"]
-        z = _requant(acc, qkv["out_scale"] / sa1, *_INT8, jnp.int8)
-
-        z = z.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = z[0], z[1], z[2]
-
-        attn = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.int32,
-        )  # (B, H, N, N) at scale sa1²
-        s_attn = sa1 * sa1 * qk_scale
-        ssm = blk["s_attn_sm_in"]
-        attn = _requant(attn, s_attn / ssm, *_INT8, jnp.float32)
-
-        sm, _ = shiftmax(attn, jnp.float32(ssm), out_bits=16, interp=DEPLOY)
-        s_sm = 1.0 / 2.0**15
-
-        # attn(16b) @ v(8b): f32 carriers with HIGHEST precision — the
-        # MXU has no 16×8 int mode; exact ≤2^24, matching the simulator.
-        ctx = jax.lax.dot_general(
-            sm,
-            v.astype(jnp.float32),
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        s_ctx = s_sm * sa1
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
-
-        sao = blk["s_attn_out"]
-        ctx = _requant(ctx, s_ctx / sao, *_INT8, jnp.int8)
-
-        proj = blk["proj"]
-        acc = _linear(ctx, proj)
-        sap = blk["s_attn_proj"]
-        ctx = _requant(acc, proj["out_scale"] / sap, *_INT16, jnp.float32)
-
-        # residual merge (dual-scale, 16-bit): the identity branch is the
-        # block input at s_x (vit_quant.py:135).
-        sr1 = blk["s_res1"]
-        x = jnp.clip(
-            jnp.round(ctx * (sap / sr1))
-            + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
-            *_INT16,
-        )
-        s_x = sr1
-
-        # --- MLP half ---
-        n2 = blk["norm2"]
-        y, _ = int_layernorm(
-            x, jnp.ones((D,)), jnp.zeros((D,)), interp=DEPLOY
-        )
-        y = y + jnp.asarray(n2["bias_int"])
-        s_y = jnp.asarray(n2["out_scale"])
-
-        s3 = blk["s_qact3"]
-        y = _requant(y, s_y / s3, *_INT8, jnp.int8)
-
-        fc1 = blk["fc1"]
-        acc = _linear(y, fc1)
-        sg_in = blk["s_gelu_in"]
-        g = _requant(acc, fc1["out_scale"] / sg_in, *_INT8, jnp.float32)
-
-        g, s_g = shiftgelu(g, jnp.float32(sg_in), out_bits=8, interp=DEPLOY)
-        sg_out = blk["s_gelu_out"]
-        g = _requant(g, s_g / sg_out, *_INT8, jnp.int8)
-
-        fc2 = blk["fc2"]
-        acc = _linear(g, fc2)
-        smo = blk["s_mlp_out"]
-        m = _requant(acc, fc2["out_scale"] / smo, *_INT16, jnp.float32)
-
-        sr2 = blk["s_res2"]
-        x = jnp.clip(
-            jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
-            *_INT16,
-        )
-        return x, sr2
 
     return infer

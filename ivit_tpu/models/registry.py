@@ -7,7 +7,7 @@ Analogue of the reference ``str2model`` dict
 
 from __future__ import annotations
 
-from . import vit
+from . import swin, vit
 
 MODEL_REGISTRY = {
     "deit_tiny": vit.deit_tiny_patch16_224,
@@ -15,6 +15,9 @@ MODEL_REGISTRY = {
     "deit_base": vit.deit_base_patch16_224,
     "vit_base": vit.vit_base_patch16_224,
     "vit_large": vit.vit_large_patch16_224,
+    "swin_tiny": swin.swin_tiny_patch4_window7_224,
+    "swin_small": swin.swin_small_patch4_window7_224,
+    "swin_base": swin.swin_base_patch4_window7_224,
 }
 
 

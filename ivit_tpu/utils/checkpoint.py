@@ -18,10 +18,15 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, state, extra: dict | None = None):
-    """Serialize a TrainState (or any pytree) + metadata to ``path``."""
+    """Serialize a TrainState (or any pytree) + metadata to ``path``.
+
+    Stored as a plain nested state-dict so consumers that only need a
+    subtree (e.g. the deploy converter reading params+quant_stats) can
+    restore without reconstructing the optimizer pytree.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
-        "state": serialization.to_bytes(jax.tree.map(np.asarray, state)),
+        "state": serialization.to_state_dict(jax.tree.map(np.asarray, state)),
         "extra": extra or {},
     }
     tmp = path + ".tmp"
@@ -34,8 +39,15 @@ def load_checkpoint(path: str, target):
     """Restore into the structure of ``target``; returns (state, extra)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    state = serialization.from_bytes(target, payload["state"])
+    state = serialization.from_state_dict(target, payload["state"])
     return state, payload.get("extra", {})
+
+
+def load_checkpoint_raw(path: str):
+    """Return the raw nested state-dict + extra (no target needed)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload["state"], payload.get("extra", {})
 
 
 def save_artifact(path: str, artifact: dict):

@@ -65,6 +65,26 @@ class TestDeployParity:
             assert blk["fc2"]["b"].dtype == np.int32
             assert blk["norm1"]["out_scale"].dtype == np.float32
 
+    def test_pallas_engine_bit_matches_pure(self):
+        """Pallas-fused engine ≡ pure-XLA engine (interpret mode on CPU).
+
+        Uses a 128-wide model so every fused kernel is shape-eligible.
+        """
+        model = VisionTransformer(
+            img_size=16, patch_size=8, num_classes=8,
+            embed_dim=128, depth=1, num_heads=4,
+        )
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, (2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(4), x, train=True)
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+
+        pure = build_vit_infer(artifact, use_pallas=False)(x)
+        fused = build_vit_infer(
+            artifact, use_pallas=True, pallas_interpret=True
+        )(x)
+        np.testing.assert_array_equal(np.asarray(pure), np.asarray(fused))
+
     def test_deploy_deterministic(self):
         model, variables = trained_tiny()
         artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
