@@ -1,0 +1,326 @@
+"""Swin integer-only deployment: freeze + inference engine.
+
+Extends the deployment path (the reference only ever deployed DeiT via
+TVM; Swin deployment is new capability). Same design as ``engine.py``:
+int8 MXU matmuls, static requant ratios, the shared integer
+nonlinearities. The relative-position bias is pre-gathered and
+pre-requantized into the attention scale at freeze time, so at runtime
+the dual-scale merge (swin_quant.py:142-149) is a single integer add;
+the SW-MSA −100 mask likewise folds to a precomputed integer addend.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.swin import relative_position_index, sw_attn_mask, window_partition, window_reverse
+from ..ops import DEPLOY, shiftgelu, shiftmax
+from .convert import _act_scale, _freeze_layernorm, _freeze_linear
+from .engine import _INT8, _INT16, _linear, _requant, _layernorm_requant
+
+
+def freeze_swin(model, variables) -> dict:
+    params = variables["params"]
+    stats = variables["quant_stats"]
+    D = model.embed_dim
+    grid = model.img_size // model.patch_size
+
+    a = {
+        "config": dict(
+            img_size=model.img_size,
+            patch_size=model.patch_size,
+            embed_dim=D,
+            depths=tuple(model.depths),
+            num_heads=tuple(model.num_heads),
+            window_size=model.window_size,
+            mlp_ratio=model.mlp_ratio,
+            num_classes=model.num_classes,
+        )
+    }
+
+    a["input_scale"] = _act_scale(stats["qact_input"], 8)
+    a["patch_embed"] = _freeze_linear(params["patch_embed"]["proj"], a["input_scale"])
+    a["s_before_norm"] = _act_scale(stats["qact_before_norm"], 8)
+    a["patch_norm"] = _freeze_layernorm(params["patch_norm"], D)
+    a["embed_scale"] = _act_scale(stats["qact_embed"], 16)
+    a["tokens_scale"] = _act_scale(stats["qact1"], 16)
+
+    stages = []
+    k = 0
+    for i, depth in enumerate(model.depths):
+        dim = D * 2**i
+        res = grid // 2**i
+        blocks = []
+        for j in range(depth):
+            name = f"layers_{i}_blocks_{j}"
+            bp, bs = params[name], stats[name]
+            ws = min(model.window_size, res)
+            shift = 0 if j % 2 == 0 else model.window_size // 2
+            if res <= model.window_size:
+                shift = 0
+
+            s_qact1 = _act_scale(bs["qact1"], 8)
+            sa1 = _act_scale(bs["attn"]["qact1"], 8)
+            s_attn1 = _act_scale(bs["attn"]["qact_attn1"], 8)
+            s_table = _act_scale(bs["attn"]["qact_table"], 8)
+            s_bias = _act_scale(bs["attn"]["qact2"], 8)
+            s_q3 = _act_scale(bs["attn"]["qact3"], 8)
+            s_q4 = _act_scale(bs["attn"]["qact4"], 16)
+            s_res1 = _act_scale(bs["qact2"], 16)
+            s_qact3 = _act_scale(bs["qact3"], 8)
+            s_gelu_in = _act_scale(bs["mlp"]["qact_gelu"], 8)
+            s_gelu_out = _act_scale(bs["mlp"]["qact1"], 8)
+            s_mlp_out = _act_scale(bs["mlp"]["qact2"], 16)
+            s_res2 = _act_scale(bs["qact4"], 16)
+
+            # pre-gather + pre-requantize the relative position bias into
+            # the post-merge scale s_bias (int addend).
+            table = np.asarray(
+                bp["attn"]["relative_position_bias_table"], np.float32
+            )
+            tq = np.clip(np.round(table / np.float32(s_table)), -128, 127)
+            idx = relative_position_index(ws).reshape(-1)
+            N = ws * ws
+            nH = model.num_heads[i]
+            bias_q = tq[idx].reshape(N, N, nH).transpose(2, 0, 1)
+            bias_req = np.round(
+                bias_q * np.float32(s_table / s_bias)
+            ).astype(np.float32)
+
+            mask = sw_attn_mask(res, res, ws, shift)
+            mask_int = (
+                (mask / np.float32(s_bias)).astype(np.float32)
+                if mask is not None
+                else None
+            )
+
+            blocks.append(
+                {
+                    "res": res, "ws": ws, "shift": shift, "heads": nH,
+                    "norm1": _freeze_layernorm(bp["norm1"], dim),
+                    "s_qact1": s_qact1,
+                    "qkv": _freeze_linear(bp["attn"]["qkv"], s_qact1),
+                    "s_attn_qact1": sa1,
+                    "s_attn1": s_attn1,
+                    "bias_req": bias_req,
+                    "s_bias": s_bias,
+                    "mask_int": mask_int,
+                    "s_attn_out": s_q3,
+                    "proj": _freeze_linear(bp["attn"]["proj"], s_q3),
+                    "s_attn_proj": s_q4,
+                    "s_res1": s_res1,
+                    "norm2": _freeze_layernorm(bp["norm2"], dim),
+                    "s_qact3": s_qact3,
+                    "fc1": _freeze_linear(bp["mlp"]["fc1"], s_qact3),
+                    "s_gelu_in": s_gelu_in,
+                    "s_gelu_out": s_gelu_out,
+                    "fc2": _freeze_linear(bp["mlp"]["fc2"], s_gelu_out),
+                    "s_mlp_out": s_mlp_out,
+                    "s_res2": s_res2,
+                }
+            )
+            k += 1
+        stage = {"blocks": blocks}
+        if i < len(model.depths) - 1:
+            dname = f"layers_{i}_downsample"
+            s_dq1 = _act_scale(stats[dname]["qact1"], 8)
+            stage["downsample"] = {
+                "res": res, "dim": dim,
+                "norm": _freeze_layernorm(params[dname]["norm"], 4 * dim),
+                "s_qact1": s_dq1,
+                "reduction": _freeze_linear(params[dname]["reduction"], s_dq1),
+                "s_out": _act_scale(stats[dname]["qact2"], 8),
+            }
+        stages.append(stage)
+    a["stages"] = stages
+
+    nf = D * 2 ** (len(model.depths) - 1)
+    a["norm"] = _freeze_layernorm(params["norm"], nf)
+    a["s_qact2"] = _act_scale(stats["qact2"], 8)
+    a["s_qact3"] = _act_scale(stats["qact3"], 8)
+    a["head"] = _freeze_linear(params["head"], a["s_qact3"])
+    return a
+
+
+def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
+                     pallas_interpret: bool = False):
+    """Jittable int8 Swin inference: float NHWC images → logits."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    cfg = artifact["config"]
+    p = cfg["patch_size"]
+    interpret = pallas_interpret
+
+    def _attention(x8, blk):
+        """x8: (B·nW, N, C) int8 windows at s_qact1."""
+        Bw, N, C = x8.shape
+        H = blk["heads"]
+        hd = C // H
+
+        acc = _linear(x8, blk["qkv"])
+        sa1 = blk["s_attn_qact1"]
+        z = _requant(acc, blk["qkv"]["out_scale"] / sa1, *_INT8, jnp.int8)
+        z = z.reshape(Bw, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = z[0], z[1], z[2]
+
+        attn = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        )
+        s_attn = sa1 * sa1 * (float(hd) ** -0.5)
+        s1 = blk["s_attn1"]
+        a8 = _requant(attn, s_attn / s1, *_INT8, jnp.float32)
+
+        # dual-scale bias merge, pre-requantized at freeze time
+        sb = blk["s_bias"]
+        a8 = jnp.clip(
+            jnp.round(a8 * (s1 / sb)) + jnp.asarray(blk["bias_req"])[None],
+            *_INT8,
+        )
+        if blk["mask_int"] is not None:
+            m = jnp.asarray(blk["mask_int"])
+            nW = m.shape[0]
+            a8 = (
+                a8.reshape(Bw // nW, nW, H, N, N) + m[None, :, None]
+            ).reshape(Bw, H, N, N)
+
+        sm, _ = shiftmax(a8, jnp.float32(sb), out_bits=8, interp=DEPLOY)
+        sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])
+        s_sm = 1.0 / 2.0**7
+
+        ctx = jax.lax.dot_general(
+            sm8, v,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(Bw, N, C)
+        s_ctx = s_sm * sa1
+
+        so = blk["s_attn_out"]
+        c8 = _requant(ctx, s_ctx / so, *_INT8, jnp.int8)
+        acc = _linear(c8, blk["proj"])
+        sap = blk["s_attn_proj"]
+        out = _requant(acc, blk["proj"]["out_scale"] / sap, *_INT16, jnp.float32)
+        return out, sap
+
+    def _block(x, s_x, blk):
+        B, L, C = x.shape
+        res, ws, shift = blk["res"], blk["ws"], blk["shift"]
+
+        s1 = blk["s_qact1"]
+        y = _layernorm_requant(
+            x.astype(jnp.float32), blk["norm1"], s1, 8, *_INT8,
+            use_pallas, interpret,
+        ).astype(jnp.int8)
+
+        g = y.reshape(B, res, res, C)
+        if shift > 0:
+            g = jnp.roll(g, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(g, ws)
+
+        aw, sap = _attention(xw, blk)
+
+        g = window_reverse(aw, ws, res, res)
+        if shift > 0:
+            g = jnp.roll(g, (shift, shift), axis=(1, 2))
+        a = g.reshape(B, L, C)
+
+        sr1 = blk["s_res1"]
+        x = jnp.clip(
+            jnp.round(a * (sap / sr1))
+            + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
+            *_INT16,
+        )
+        s_x = sr1  # identity branch of the next residual is at sr1 now
+
+        s3 = blk["s_qact3"]
+        y = _layernorm_requant(
+            x, blk["norm2"], s3, 8, *_INT8, use_pallas, interpret
+        ).astype(jnp.int8)
+
+        acc = _linear(y, blk["fc1"])
+        sg_in, sg_out = blk["s_gelu_in"], blk["s_gelu_out"]
+        gq = _requant(acc, blk["fc1"]["out_scale"] / sg_in, *_INT8, jnp.float32)
+        gl, _ = shiftgelu(gq, jnp.float32(sg_in), out_bits=8, interp=DEPLOY)
+        s_g = sg_in / 2.0**7
+        g8 = _requant(gl, s_g / sg_out, *_INT8, jnp.int8)
+
+        acc = _linear(g8, blk["fc2"])
+        smo = blk["s_mlp_out"]
+        m = _requant(acc, blk["fc2"]["out_scale"] / smo, *_INT16, jnp.float32)
+
+        sr2 = blk["s_res2"]
+        x = jnp.clip(
+            jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
+            *_INT16,
+        )
+        return x, sr2
+
+    def _downsample(x, s_x, ds):
+        B, L, C = x.shape
+        res = ds["res"]
+        g = x.reshape(B, res, res, C)
+        parts = [g[:, 0::2, 0::2], g[:, 1::2, 0::2],
+                 g[:, 0::2, 1::2], g[:, 1::2, 1::2]]
+        q = jnp.concatenate(parts, -1).reshape(B, L // 4, 4 * C)
+        s1 = ds["s_qact1"]
+        y = _layernorm_requant(
+            q.astype(jnp.float32), ds["norm"], s1, 8, *_INT8,
+            use_pallas, interpret,
+        ).astype(jnp.int8)
+        acc = _linear(y, ds["reduction"])
+        so = ds["s_out"]
+        out = _requant(acc, ds["reduction"]["out_scale"] / so, *_INT8, jnp.float32)
+        return out, so
+
+    def infer(images):
+        B = images.shape[0]
+        s_in = artifact["input_scale"]
+        x = jnp.clip(jnp.round(images / s_in), *_INT8).astype(jnp.int8)
+
+        gh = cfg["img_size"] // p
+        x = x.reshape(B, gh, p, gh, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gh, p * p * 3)
+        pe = artifact["patch_embed"]
+        acc = _linear(x, pe)
+        sbn = artifact["s_before_norm"]
+        x = _requant(acc, pe["out_scale"] / sbn, *_INT8, jnp.float32)
+
+        # patch norm → 16-bit embed scale → 16-bit token scale
+        pn = artifact["patch_norm"]
+        from ..ops import int_layernorm
+
+        D = cfg["embed_dim"]
+        y, _ = int_layernorm(x, jnp.ones((D,)), jnp.zeros((D,)), interp=DEPLOY)
+        y = y + jnp.asarray(pn["bias_int"])
+        s_e = artifact["embed_scale"]
+        x = _requant(y, jnp.asarray(pn["out_scale"]) / s_e, *_INT16, jnp.float32)
+        s_tok = artifact["tokens_scale"]
+        x = jnp.clip(jnp.round(x * (s_e / s_tok)), *_INT16)
+        s_x = s_tok
+
+        for stage in artifact["stages"]:
+            for blk in stage["blocks"]:
+                x, s_x = _block(x, s_x, blk)
+            if "downsample" in stage:
+                x, s_x = _downsample(x, s_x, stage["downsample"])
+
+        s2 = artifact["s_qact2"]
+        y = _layernorm_requant(
+            x.astype(jnp.float32), artifact["norm"], s2, 8, *_INT8,
+            use_pallas, interpret,
+        )
+        y = y.astype(jnp.float32)
+        # token-mean pool then requant to the head scale
+        y = jnp.mean(y, axis=1)
+        s3 = artifact["s_qact3"]
+        y8 = _requant(y, s2 / s3, *_INT8, jnp.int8)
+        head = artifact["head"]
+        logits = _linear(y8, head)
+        return logits.astype(jnp.float32) * head["out_scale"]
+
+    return infer

@@ -1,0 +1,56 @@
+"""Swin sim ↔ int8 deploy engine consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
+from ivit_tpu.models import SwinTransformer
+
+
+def trained_tiny_swin(steps=3):
+    model = SwinTransformer(
+        img_size=16, patch_size=2, num_classes=8, embed_dim=16,
+        depths=(2, 2), num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(1), x, train=True)
+    for i in range(steps):
+        xi = jax.random.normal(jax.random.PRNGKey(10 + i), (2, 16, 16, 3))
+        _, upd = model.apply(variables, xi, train=True, mutable=["quant_stats"])
+        variables = {"params": variables["params"], **upd}
+    return model, variables
+
+
+class TestSwinDeploy:
+    def test_sim_deploy_logits_match(self):
+        model, variables = trained_tiny_swin()
+        x = jax.random.normal(jax.random.PRNGKey(42), (2, 16, 16, 3))
+
+        sim = np.asarray(model.apply(variables, x, train=False))
+        artifact = freeze_swin(model, jax.tree.map(np.asarray, variables))
+        dep = np.asarray(
+            jax.jit(build_swin_infer(artifact, use_pallas=False))(x)
+        )
+
+        assert dep.shape == sim.shape
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(dep, sim, atol=4 * head_scale, rtol=0)
+        np.testing.assert_array_equal(np.argmax(dep, -1), np.argmax(sim, -1))
+
+    def test_shifted_window_block_covered(self):
+        """The artifact includes a shifted block with a mask addend."""
+        model, variables = trained_tiny_swin()
+        artifact = freeze_swin(model, jax.tree.map(np.asarray, variables))
+        shifts = [
+            b["shift"] for st in artifact["stages"] for b in st["blocks"]
+        ]
+        assert any(s > 0 for s in shifts)
+        masked = [
+            b["mask_int"] is not None
+            for st in artifact["stages"]
+            for b in st["blocks"]
+            if b["shift"] > 0
+        ]
+        assert all(masked)
