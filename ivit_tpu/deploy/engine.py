@@ -44,6 +44,19 @@ def _requant(acc, ratio, lo, hi, dtype):
     return jnp.clip(y, lo, hi).astype(dtype)
 
 
+def _requant_strict(acc, ratio, lo, hi, dtype):
+    """Integer-ISA-exact requant: dyadic (m, e) multiply+shift in 16-bit
+    limbs (core/dyadic.py), round-half-away — the semantics the
+    reference's TVM path uses (fixedpoint_mul / qnn.requantize). Slower
+    than the f32 epilogue; selectable via ``strict_dyadic``."""
+    from ..core.dyadic import dyadic_requant
+
+    y = dyadic_requant(
+        acc.astype(jnp.int32), jnp.asarray(ratio, jnp.float32)
+    )
+    return jnp.clip(y, lo, hi).astype(dtype)
+
+
 def _int8_matmul(x_int8, w_int8):
     return jax.lax.dot_general(
         x_int8,
@@ -87,16 +100,43 @@ def _layernorm_requant(x, norm, s_out, bits, lo, hi, use_pallas, interpret):
     return _requant(y, jnp.asarray(ratio), lo, hi, jnp.int8 if bits == 8 else jnp.float32)
 
 
+# Measured end-to-end on v5e (batch 128, DeiT-S): XLA's own fusions beat
+# each fused Pallas kernel here (per-kernel wins did not survive the lost
+# fusion boundaries around them), so none are on by default. The kernels
+# stay available and bit-exact for hardware where the trade flips.
+DEFAULT_PALLAS_OPS: tuple = ()
+
+
 def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
-                    pallas_interpret: bool = False):
+                    pallas_interpret: bool = False,
+                    pallas_ops: tuple = DEFAULT_PALLAS_OPS,
+                    strict_dyadic: bool = False,
+                    attn_v_mode: str = "f32"):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
     ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
-    as the oracle in tests); ``None`` auto-enables Pallas off-CPU. Ops
+    as the oracle in tests); ``None`` auto-enables Pallas off-CPU.
+    ``pallas_ops`` selects which chains use the fused kernels — measured
+    on v5e, the Shiftmax kernel wins clearly while XLA's own fusions win
+    for the LayerNorm/GELU chains, so only softmax is on by default. Ops
     whose shapes don't meet Pallas tiling fall back automatically.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if strict_dyadic:
+        # integer-ISA-exact requant epilogues; Pallas kernels use the
+        # f32 epilogue internally, so strict mode runs pure-XLA.
+        use_pallas = False
+    rq = _requant_strict if strict_dyadic else _requant
+    # "f32": HIGHEST-precision f32 matmul for softmax@V — bit-identical
+    # to the QAT simulator's matmul (which is also f32 HIGHEST) and
+    # fastest end-to-end on v5e. "exact": base-256 split into two int8
+    # MXU matmuls + rank-1 correction — exact int32 semantics (exceeds
+    # the simulator's fidelity above 2^24), ~20% slower.
+    assert attn_v_mode in ("f32", "exact"), attn_v_mode
+    p_softmax = use_pallas and "softmax" in pallas_ops
+    p_gelu = use_pallas and "gelu" in pallas_ops
+    p_ln = use_pallas and "layernorm" in pallas_ops
     cfg = artifact["config"]
     D, H = cfg["embed_dim"], cfg["num_heads"]
     hd = D // H
@@ -113,7 +153,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         s1 = blk["s_qact1"]
         y = _layernorm_requant(
             x.astype(jnp.float32), blk["norm1"], s1, 8, *_INT8,
-            use_pallas, interpret,
+            p_ln, interpret,
         )
         if y.dtype != jnp.int8:
             y = y.astype(jnp.int8)
@@ -121,7 +161,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         qkv = blk["qkv"]
         acc = _linear(y, qkv)
         sa1 = blk["s_attn_qact1"]
-        z = _requant(acc, qkv["out_scale"] / sa1, *_INT8, jnp.int8)
+        z = rq(acc, qkv["out_scale"] / sa1, *_INT8, jnp.int8)
 
         z = z.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = z[0], z[1], z[2]
@@ -130,7 +170,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         ssm = blk["s_attn_sm_in"]
         s_sm = 1.0 / 2.0**15
 
-        if use_pallas:
+        if p_softmax and attn_v_mode == "exact":
             # pad the key/value token axis once; padded keys produce
             # zero-probability columns inside the softmax kernel.
             kp = _pad_axis(k, 2, Npad)
@@ -151,39 +191,56 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             hi8 = hi8.reshape(B, H, N, Npad)
             lo8 = lo8.reshape(B, H, N, Npad)
             vmm = vp
+            if attn_v_mode == "f32":
+                sm = (
+                    256.0 * hi8.astype(jnp.float32)
+                    + lo8.astype(jnp.float32) + 128.0
+                )
         else:
             attn = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.int32,
             )
-            a8 = _requant(attn, s_attn / ssm, *_INT8, jnp.float32)
+            a8 = rq(attn, s_attn / ssm, *_INT8, jnp.float32)
             sm, _ = shiftmax(a8, jnp.float32(ssm), out_bits=16, interp=DEPLOY)
-            hi8 = jnp.floor(sm / 256.0).astype(jnp.int8)
-            lo8 = (sm - jnp.floor(sm / 256.0) * 256.0 - 128.0).astype(jnp.int8)
+            if attn_v_mode == "exact":
+                hi8 = jnp.floor(sm / 256.0).astype(jnp.int8)
+                lo8 = (
+                    sm - jnp.floor(sm / 256.0) * 256.0 - 128.0
+                ).astype(jnp.int8)
             vmm = v
 
-        # softmax(16b) @ v(8b): base-256 split → two int8 MXU matmuls +
-        # rank-1 correction, exact in int32.
         dn = (((3,), (2,)), ((0, 1), (0, 1)))
-        ctx_hi = jax.lax.dot_general(
-            hi8, vmm, dimension_numbers=dn, preferred_element_type=jnp.int32
-        )
-        ctx_lo = jax.lax.dot_general(
-            lo8, vmm, dimension_numbers=dn, preferred_element_type=jnp.int32
-        )
-        v_sum = jnp.sum(vmm.astype(jnp.int32), axis=2, keepdims=True)
-        ctx = (256 * ctx_hi + ctx_lo + 128 * v_sum).astype(jnp.float32)
+        if attn_v_mode == "exact":
+            # base-256 split → two int8 MXU matmuls + rank-1 correction,
+            # exact in int32.
+            ctx_hi = jax.lax.dot_general(
+                hi8, vmm, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            ctx_lo = jax.lax.dot_general(
+                lo8, vmm, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            v_sum = jnp.sum(vmm.astype(jnp.int32), axis=2, keepdims=True)
+            ctx = (256 * ctx_hi + ctx_lo + 128 * v_sum).astype(jnp.float32)
+        else:
+            ctx = jax.lax.dot_general(
+                sm, vmm.astype(jnp.float32), dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         s_ctx = s_sm * sa1
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)
 
         sao = blk["s_attn_out"]
-        ctx = _requant(ctx, s_ctx / sao, *_INT8, jnp.int8)
+        ctx = rq(ctx, s_ctx / sao, *_INT8, jnp.int8)
 
         proj = blk["proj"]
         acc = _linear(ctx, proj)
         sap = blk["s_attn_proj"]
-        ctx = _requant(acc, proj["out_scale"] / sap, *_INT16, jnp.float32)
+        ctx = rq(acc, proj["out_scale"] / sap, *_INT16, jnp.float32)
 
         # residual merge (dual-scale 16-bit, vit_quant.py:135)
         sr1 = blk["s_res1"]
@@ -197,7 +254,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # --- MLP half ---
         s3 = blk["s_qact3"]
         y = _layernorm_requant(
-            x, blk["norm2"], s3, 8, *_INT8, use_pallas, interpret
+            x, blk["norm2"], s3, 8, *_INT8, p_ln, interpret
         )
         if y.dtype != jnp.int8:
             y = y.astype(jnp.int8)
@@ -209,7 +266,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         Ch = acc.shape[-1]
         s_g = sg_in / 2.0**7  # ShiftGELU output scale, out_bits=8
 
-        if use_pallas and Ch % 128 == 0:
+        if p_gelu and Ch % 128 == 0:
             g8 = fused_requant_shiftgelu(
                 acc.reshape(-1, Ch),
                 jnp.asarray((fc1["out_scale"] / np.float32(sg_in)).astype(np.float32)),
@@ -219,14 +276,14 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 interpret=interpret,
             ).reshape(B, N, Ch)
         else:
-            gq = _requant(acc, fc1["out_scale"] / sg_in, *_INT8, jnp.float32)
+            gq = rq(acc, fc1["out_scale"] / sg_in, *_INT8, jnp.float32)
             g, _ = shiftgelu(gq, jnp.float32(sg_in), out_bits=8, interp=DEPLOY)
-            g8 = _requant(g, s_g / sg_out, *_INT8, jnp.int8)
+            g8 = rq(g, s_g / sg_out, *_INT8, jnp.int8)
 
         fc2 = blk["fc2"]
         acc = _linear(g8, fc2)
         smo = blk["s_mlp_out"]
-        m = _requant(acc, fc2["out_scale"] / smo, *_INT16, jnp.float32)
+        m = rq(acc, fc2["out_scale"] / smo, *_INT16, jnp.float32)
 
         sr2 = blk["s_res2"]
         x = jnp.clip(
@@ -247,7 +304,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         pe = artifact["patch_embed"]
         acc = _linear(x, pe)
         s_embed = artifact["embed_scale"]
-        x = _requant(acc, pe["out_scale"] / s_embed, *_INT16, jnp.int32)
+        x = rq(acc, pe["out_scale"] / s_embed, *_INT16, jnp.int32)
 
         # cls concat at the shared scale; pos-embed dual-scale merge
         # (vit_quant.py:259-265).
@@ -272,7 +329,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # Final norm → CLS → head (the only float op is the last scale).
         s_head = artifact["head_in_scale"]
         y = _layernorm_requant(
-            x, artifact["norm"], s_head, 8, *_INT8, use_pallas, interpret
+            x, artifact["norm"], s_head, 8, *_INT8, p_ln, interpret
         )
         if y.dtype != jnp.int8:
             y = y.astype(jnp.int8)

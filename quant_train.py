@@ -84,6 +84,9 @@ def build_parser():
                    help="tensor-parallel axis size (data axis gets the rest)")
     p.add_argument("--pretrained", type=str, default="",
                    help="path to a torch/npz checkpoint to import")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace of steps [10, 10+N) "
+                        "of epoch 0 into <output-dir>/profile")
     return p
 
 
@@ -233,6 +236,12 @@ def main(argv=None):
         )
         t0 = time.time()
         for i, (images, labels) in enumerate(train_loader):
+            if args.profile_steps and epoch == 0 and i == 10:
+                jax.profiler.start_trace(
+                    os.path.join(args.output_dir, "profile")
+                )
+            if args.profile_steps and epoch == 0 and i == 10 + args.profile_steps:
+                jax.profiler.stop_trace()
             step_rng, k_mix, k_drop = jax.random.split(step_rng, 3)
             images = jax.device_put(images, dsh)
             labels = jax.device_put(jnp.asarray(labels), dsh)

@@ -79,11 +79,18 @@ class TestDeployParity:
         variables = model.init(jax.random.PRNGKey(4), x, train=True)
         artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
 
-        pure = build_vit_infer(artifact, use_pallas=False)(x)
+        all_ops = ("softmax", "gelu", "layernorm")
+        pure = build_vit_infer(
+            artifact, use_pallas=False, attn_v_mode="exact"
+        )(x)
         fused = build_vit_infer(
-            artifact, use_pallas=True, pallas_interpret=True
+            artifact, use_pallas=True, pallas_interpret=True,
+            pallas_ops=all_ops, attn_v_mode="exact",
         )(x)
         np.testing.assert_array_equal(np.asarray(pure), np.asarray(fused))
+        # and the f32 attn@V default agrees with the exact mode here
+        f32mode = build_vit_infer(artifact, use_pallas=False)(x)
+        np.testing.assert_array_equal(np.asarray(pure), np.asarray(f32mode))
 
     def test_deploy_deterministic(self):
         model, variables = trained_tiny()
