@@ -8,3 +8,7 @@ data- and tensor-parallelism, AOT-compiled deployment).
 """
 
 __version__ = "0.1.0"
+
+from . import core, ops  # light imports; nn/models/train pull flax lazily
+
+__all__ = ["core", "ops", "__version__"]

@@ -31,6 +31,7 @@ from ..kernels import (
     fused_requant_shiftgelu,
     fused_requant_shiftmax,
 )
+from ..kernels.attention_fused import fused_int8_attention
 from ..ops import DEPLOY, int_layernorm, shiftgelu, shiftmax
 
 _INT8 = (-128, 127)
@@ -134,7 +135,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     # MXU matmuls + rank-1 correction — exact int32 semantics (exceeds
     # the simulator's fidelity above 2^24), ~20% slower.
     assert attn_v_mode in ("f32", "exact"), attn_v_mode
-    p_softmax = use_pallas and "softmax" in pallas_ops
+    p_attn = use_pallas and "attention" in pallas_ops
+    p_softmax = use_pallas and "softmax" in pallas_ops and not p_attn
     p_gelu = use_pallas and "gelu" in pallas_ops
     p_ln = use_pallas and "layernorm" in pallas_ops
     cfg = artifact["config"]
@@ -169,6 +171,30 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         s_attn = sa1 * sa1 * qk_scale
         ssm = blk["s_attn_sm_in"]
         s_sm = 1.0 / 2.0**15
+        sao = blk["s_attn_out"]
+
+        if p_attn:
+            # fully-fused attention: the (N, N) matrix never leaves VMEM.
+            s_ctx = s_sm * sa1
+            G = B * H
+            qp = _pad_axis(q, 2, Npad).reshape(G, Npad, hd)
+            kp = _pad_axis(k, 2, Npad).reshape(G, Npad, hd)
+            vp = _pad_axis(v, 2, Npad).reshape(G, Npad, hd)
+            c8 = fused_int8_attention(
+                qp, kp, vp,
+                r1=float(s_attn / ssm),
+                scale=float(ssm),
+                r_out=float(s_ctx / sao),
+                n_valid=N,
+                out_bits=16,
+                interpret=interpret,
+            )
+            ctx = (
+                c8.reshape(B, H, Npad, hd)[:, :, :N]
+                .transpose(0, 2, 1, 3)
+                .reshape(B, N, C)
+            )
+            return _attn_tail(x, s_x, blk, ctx)
 
         if p_softmax and attn_v_mode == "exact":
             # pad the key/value token axis once; padded keys produce
@@ -234,9 +260,11 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         s_ctx = s_sm * sa1
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)
 
-        sao = blk["s_attn_out"]
         ctx = rq(ctx, s_ctx / sao, *_INT8, jnp.int8)
+        return _attn_tail(x, s_x, blk, ctx)
 
+    def _attn_tail(x, s_x, blk, ctx):
+        B, N, C = x.shape
         proj = blk["proj"]
         acc = _linear(ctx, proj)
         sap = blk["s_attn_proj"]

@@ -1,10 +1,12 @@
-"""Pallas TPU kernel: fused requantize → ShiftGELU → requantize.
+"""Pallas TPU kernel: int8 matmul (fc1) with fused ShiftGELU epilogue.
 
-Replaces the XLA chain on the MLP hidden activation (B·N, 4C):
-  int32 fc1 accumulator → per-channel requant(int8) → shift-sigmoid →
-  x·σ → requant(int8 for fc2)
-with one VMEM pass. Bit-identical to ``ivit_tpu.ops.shiftgelu`` (DEPLOY)
-— the rebuild of quant_modules.py:389-445.
+The MLP's hidden activation is the largest intermediate in the model
+(B·N × 4C int32). Fusing requant→ShiftGELU→requant into the matmul's
+epilogue writes the int8 result directly — the int32 accumulator never
+reaches HBM. (XLA cannot do this fusion itself because ShiftGELU
+contains a cross-channel max reduction over the matmul's output axis.)
+
+Bit-identical to _linear → requant → ops.shiftgelu → requant.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ def _exp2i(k):
     return jax.lax.bitcast_convert_type(
         (k.astype(jnp.int32) + 127) << 23, jnp.float32
     )
-_ROWS = 128
+_ROWS = 256
 
 
 def _shift_exp(q, scale, n):
@@ -38,9 +40,14 @@ def _shift_exp(q, scale, n):
     return jnp.clip(e, 0.0, _I32_MAX)
 
 
-def _kernel(x_ref, r1_ref, out_ref, *, s_in, r2, n, out_bits):
-    x = x_ref[...].astype(jnp.float32)
-    q = jnp.clip(jnp.round(x * r1_ref[...]), -128.0, 127.0)
+def _kernel(x_ref, w_ref, b_ref, r1_ref, out_ref, *, s_in, r2, n, out_bits):
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + b_ref[...]
+
+    q = jnp.clip(jnp.round(acc.astype(jnp.float32) * r1_ref[...]), -128.0, 127.0)
 
     sig_scale = s_in * 1.702
     q_max = jnp.max(q, axis=-1, keepdims=True)
@@ -51,12 +58,14 @@ def _kernel(x_ref, r1_ref, out_ref, *, s_in, r2, n, out_bits):
     factor = jnp.floor(_I32_MAX / exp_sum)
     sigmoid_int = jnp.floor(exp_int * factor / 2.0 ** (32 - out_bits))
 
-    y = q * sigmoid_int  # scale s_in / 2^(out_bits-1)
+    y = q * sigmoid_int
     out_ref[...] = jnp.clip(jnp.round(y * r2), -128.0, 127.0).astype(jnp.int8)
 
 
-def fused_requant_shiftgelu(
+def fused_linear_shiftgelu(
     x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
     r1: jax.Array,
     s_in: float,
     r2: float,
@@ -64,12 +73,11 @@ def fused_requant_shiftgelu(
     n: int = 23,
     interpret: bool = False,
 ):
-    """x: (M, C) int32 fc1 accumulator; ``r1``: (C,) per-channel requant
-    ratio into the 8-bit GELU input scale ``s_in``; ``r2``: scalar ratio
-    from the GELU output scale (s_in/2^(out_bits−1)) to the fc2 input
-    scale. Returns int8 (M, C)."""
-    M, C = x.shape
-    assert C % 128 == 0, C
+    """x: (M, K) int8; w: (K, C) int8; b: (C,) int32; r1: (C,) per-channel
+    requant ratio into the GELU input scale ``s_in``; r2: scalar ratio
+    into the output int8 scale. Returns int8 (M, C)."""
+    M, K = x.shape
+    C = w.shape[1]
     rows = min(_ROWS, M)
     grid = (pl.cdiv(M, rows),)
 
@@ -80,7 +88,9 @@ def fused_requant_shiftgelu(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -88,4 +98,4 @@ def fused_requant_shiftgelu(
         ),
         out_shape=jax.ShapeDtypeStruct((M, C), jnp.int8),
         interpret=interpret,
-    )(x, r1.reshape(1, C))
+    )(x, w, b.reshape(1, C), r1.reshape(1, C))

@@ -23,6 +23,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _I32_MAX = 2.0**31 - 1.0
+
+
+def _exp2i(k):
+    # exact 2^k for integer-valued f32 k >= -126 via the exponent field
+    # (ldexp); avoids the transcendental exp2 on the VPU.
+    return jax.lax.bitcast_convert_type(
+        (k.astype(jnp.int32) + 127) << 23, jnp.float32
+    )
 _ROWS = 256  # rows per grid step
 
 
@@ -43,7 +51,7 @@ def _kernel(x_ref, hi_ref, lo_ref, *, r1, scale, n, out_bits, n_valid):
     q = jnp.maximum(q, n * x0)
     qt = jnp.floor(q / x0)
     r = q - x0 * qt
-    exp_int = jnp.floor((r - 2.0 * x0) * jnp.exp2(n - 1.0 - qt))
+    exp_int = jnp.floor((r - 2.0 * x0) * _exp2i(n - 1.0 - qt))
     exp_int = jnp.clip(exp_int, 0.0, _I32_MAX)
     exp_int = jnp.where(valid, exp_int, 0.0)
 

@@ -32,6 +32,29 @@ import jax.numpy as jnp
 from ..core.ste import floor_ste, round_ste
 
 
+def _exp2_int_fast(k):
+    """Exact 2^k for integer-valued f32 ``k`` ≥ −126, built by writing
+    the float32 exponent field directly (ldexp) — replaces the
+    transcendental ``exp2``, which both dominates the deploy-side
+    shift-exp cost and is only approximate (XLA's polynomial exp2 can
+    return 2047.9999 for k=11, flipping downstream floors)."""
+    import jax
+
+    ki = k.astype(jnp.int32)
+    return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+
+
+def _exp2_int_sim(k):
+    """SIM-side exp2: the exact ldexp value (bit-matching DEPLOY) with
+    the transcendental's gradient (the reference backprops through
+    ``2**(n−q)``, quant_modules.py:420)."""
+    import jax
+
+    return jnp.exp2(k) + jax.lax.stop_gradient(
+        _exp2_int_fast(k) - jnp.exp2(k)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class Interp:
     """Floor/round primitives for one interpreter."""
@@ -39,6 +62,7 @@ class Interp:
     floor: Callable
     round: Callable
     is_sim: bool
+    exp2: Callable = jnp.exp2
 
     def clip(self, x, lo, hi):
         """Clamp with STE semantics in sim mode (the reference's clamps
@@ -52,5 +76,9 @@ class Interp:
         return clipped
 
 
-SIM = Interp(floor=floor_ste, round=round_ste, is_sim=True)
-DEPLOY = Interp(floor=jnp.floor, round=jnp.round, is_sim=False)
+SIM = Interp(
+    floor=floor_ste, round=round_ste, is_sim=True, exp2=_exp2_int_sim
+)
+DEPLOY = Interp(
+    floor=jnp.floor, round=jnp.round, is_sim=False, exp2=_exp2_int_fast
+)

@@ -42,6 +42,6 @@ def int_exp_shift(q: jax.Array, scale: jax.Array, n: int, interp: Interp):
     qt = interp.floor(q / x0)          # quotient (>= 0 for q <= 0)
     r = q - x0 * qt                    # remainder in (x0, 0]
     # (r/2 - x0) * 2^(n-qt) == (r - 2*x0) * 2^(n-qt-1)
-    exp_int = interp.floor((r - 2.0 * x0) * jnp.exp2(n - 1.0 - qt))
+    exp_int = interp.floor((r - 2.0 * x0) * interp.exp2(n - 1.0 - qt))
     exp_int = interp.clip(exp_int, 0.0, _I32_MAX)
     return exp_int, scale / (2.0**n)

@@ -91,6 +91,12 @@ class TestDeployParity:
         # and the f32 attn@V default agrees with the exact mode here
         f32mode = build_vit_infer(artifact, use_pallas=False)(x)
         np.testing.assert_array_equal(np.asarray(pure), np.asarray(f32mode))
+        # fully-fused attention kernel is bit-identical to the exact mode
+        fused_attn = build_vit_infer(
+            artifact, use_pallas=True, pallas_interpret=True,
+            pallas_ops=("attention",), attn_v_mode="exact",
+        )(x)
+        np.testing.assert_array_equal(np.asarray(pure), np.asarray(fused_attn))
 
     def test_deploy_deterministic(self):
         model, variables = trained_tiny()
