@@ -26,6 +26,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ivit_tpu.deploy import freeze_vit
+    from ivit_tpu.deploy.swin_engine import freeze_swin
     from ivit_tpu.models import create_model
     from ivit_tpu.utils import load_checkpoint_raw, save_artifact
 
@@ -36,7 +37,8 @@ def main(argv=None):
     # avoids reconstructing the training-time optimizer pytree.
     raw, extra = load_checkpoint_raw(args.checkpoint)
     variables = {"params": raw["params"], "quant_stats": raw["quant_stats"]}
-    artifact = freeze_vit(model, variables)
+    freeze = freeze_swin if args.model.startswith("swin") else freeze_vit
+    artifact = freeze(model, variables)
     save_artifact(args.output, artifact)
     print(f"wrote {args.output} (epoch {extra.get('epoch', '?')}, "
           f"best_acc1 {extra.get('best_acc1', '?')})")

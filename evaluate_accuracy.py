@@ -36,10 +36,14 @@ def main(argv=None):
     from ivit_tpu.data import DataLoader, build_dataset, eval_transform
     from ivit_tpu.data.loader import ShuffleSampler
     from ivit_tpu.deploy import build_vit_infer
+    from ivit_tpu.deploy.swin_engine import build_swin_infer
     from ivit_tpu.utils import load_artifact
 
     artifact = load_artifact(args.artifact)
-    infer = jax.jit(build_vit_infer(artifact))
+    build_infer = (
+        build_swin_infer if args.model.startswith("swin") else build_vit_infer
+    )
+    infer = jax.jit(build_infer(artifact))
 
     ds = build_dataset(args.data_set, args.data, False,
                        args.input_size, args.nb_classes)

@@ -33,8 +33,13 @@ def main(argv=None):
     import numpy as np
 
     from ivit_tpu.deploy import build_vit_infer, freeze_vit
+    from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
     from ivit_tpu.models import create_model
     from ivit_tpu.utils import load_artifact
+
+    is_swin = args.model.startswith("swin")
+    freeze = freeze_swin if is_swin else freeze_vit
+    build_infer = build_swin_infer if is_swin else build_vit_infer
 
     if args.artifact:
         artifact = load_artifact(args.artifact)
@@ -46,7 +51,7 @@ def main(argv=None):
         variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
             jax.random.PRNGKey(0), sample
         )
-        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        artifact = freeze(model, jax.tree.map(np.asarray, variables))
 
     images = jnp.asarray(
         np.random.default_rng(0).normal(
@@ -56,7 +61,7 @@ def main(argv=None):
     )
     # AOT compile (the relay.build analogue).
     t0 = time.perf_counter()
-    compiled = jax.jit(build_vit_infer(artifact)).lower(images).compile()
+    compiled = jax.jit(build_infer(artifact)).lower(images).compile()
     print(f"compile: {time.perf_counter() - t0:.1f}s")
 
     jax.block_until_ready(compiled(images))

@@ -33,12 +33,7 @@ def _exp2i(k):
     )
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, r1, scale, n, out_bits,
-            n_valid, r_out):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-
+def _one_head(q, k, v, *, r1, scale, n, out_bits, n_valid, r_out):
     attn = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -80,10 +75,17 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, r1, scale, n, out_bits,
     )
     v_sum = jnp.sum(v.astype(jnp.int32), axis=0, keepdims=True)
     ctx = (256 * ctx_hi + ctx_lo + 128 * v_sum).astype(jnp.float32)
+    return jnp.clip(jnp.round(ctx * r_out), -128.0, 127.0).astype(jnp.int8)
 
-    out_ref[0] = jnp.clip(jnp.round(ctx * r_out), -128.0, 127.0).astype(
-        jnp.int8
-    )
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, heads, **kw):
+    # several heads per grid cell so the DMA and grid-step overheads
+    # amortize over more MXU work; fori_loop keeps the program small
+    def body(h, _):
+        out_ref[h] = _one_head(q_ref[h], k_ref[h], v_ref[h], **kw)
+        return 0
+
+    jax.lax.fori_loop(0, heads, body, 0)
 
 
 def fused_int8_attention(
@@ -96,18 +98,26 @@ def fused_int8_attention(
     n_valid: int,
     out_bits: int = 16,
     n: int = 15,
+    heads_per_cell: int = 0,
     interpret: bool = False,
 ):
     """q/k/v: (G, Npad, D) int8 (G = batch·heads, token axis padded to a
     lane multiple, pads zero). ``r1``: requant ratio into the softmax
     input scale; ``scale``: softmax input scale; ``r_out``: ratio from
     the context scale (softmax_scale·v_scale) into the int8 output scale.
-    Returns int8 (G, Npad, D) context (padded rows garbage — slice)."""
+    ``heads_per_cell``: heads processed per grid step (0 = auto: as many
+    as divide G up to 8). Returns int8 (G, Npad, D) context (padded rows
+    garbage — slice)."""
     G, Npad, D = q.shape
     assert Npad % 128 == 0, Npad
+    if heads_per_cell <= 0:
+        # >1 amortizes grid overhead but multiplies Mosaic program size
+        # and (remote) compile time; 1 is the known-good default.
+        heads_per_cell = 1
 
     kernel = functools.partial(
         _kernel,
+        heads=heads_per_cell,
         r1=float(r1),
         scale=float(scale),
         n=float(n),
@@ -115,11 +125,11 @@ def fused_int8_attention(
         n_valid=n_valid,
         r_out=float(r_out),
     )
-    spec = pl.BlockSpec((1, Npad, D), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((heads_per_cell, Npad, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(G // heads_per_cell,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((G, Npad, D), jnp.int8),

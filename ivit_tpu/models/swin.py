@@ -289,6 +289,7 @@ class SwinTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     ape: bool = False
+    remat: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -328,12 +329,15 @@ class SwinTransformer(nn.Module):
             x = QuantAct(16, interp=it, name="qact1")(x, update_stats=train)
 
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, sum(self.depths))]
+        block_cls = (
+            nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
+        )
         k = 0
         for i in range(nl):
             dim = self.embed_dim * (2**i)
             res = (grid // (2**i), grid // (2**i))
             for j in range(self.depths[i]):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim,
                     input_resolution=res,
                     num_heads=self.num_heads[i],
@@ -346,7 +350,7 @@ class SwinTransformer(nn.Module):
                     drop_path_rate=dpr[k],
                     interp=it,
                     name=f"layers_{i}_blocks_{j}",
-                )(x, train=train)
+                )(x, train)  # positional: remat static_argnums counts args
                 k += 1
             if i < nl - 1:
                 x = PatchMerging(

@@ -38,6 +38,7 @@ class VisionTransformer(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    remat: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -86,8 +87,15 @@ class VisionTransformer(nn.Module):
         dpr = [
             float(r) for r in np.linspace(0.0, self.drop_path_rate, self.depth)
         ]
+        # jax.checkpoint per block: trade recompute for activation memory
+        # (the reference's use_checkpoint plumbing was broken — it dropped
+        # the scaling factor, swin_quant.py:407-408; here the QTensor
+        # pytree remats whole).
+        block_cls = (
+            nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+        )
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -97,7 +105,7 @@ class VisionTransformer(nn.Module):
                 drop_path_rate=dpr[i],
                 interp=it,
                 name=f"blocks_{i}",
-            )(x, train=train)
+            )(x, train)  # positional: remat static_argnums counts args
 
         x = IntLayerNorm(self.embed_dim, interp=it, name="norm")(x)
         x = x.replace(q=x.q[:, 0])  # CLS token

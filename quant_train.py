@@ -87,6 +87,11 @@ def build_parser():
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of steps [10, 10+N) "
                         "of epoch 0 into <output-dir>/profile")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from the "
+                        "cluster env (the init_distributed_mode analogue, "
+                        "/root/reference/utils/utils.py:215-237); the input "
+                        "pipeline shards by process, the mesh spans all hosts")
     return p
 
 
@@ -126,6 +131,13 @@ def main(argv=None):
     )
     logging.info(str(args))
 
+    if args.distributed:
+        jax.distributed.initialize()
+        logging.info(
+            "distributed: process %d/%d, %d devices",
+            jax.process_index(), jax.process_count(), jax.device_count(),
+        )
+
     np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed)
 
@@ -133,7 +145,10 @@ def main(argv=None):
                              args.input_size, args.nb_classes)
     ds_val = build_dataset(args.data_set, args.data, False,
                            args.input_size, args.nb_classes)
-    train_loader, val_loader = build_dataloaders(args, ds_train, ds_val)
+    train_loader, val_loader = build_dataloaders(
+        args, ds_train, ds_val,
+        num_shards=jax.process_count(), shard=jax.process_index(),
+    )
 
     model = create_model(
         args.model,

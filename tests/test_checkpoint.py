@@ -1,0 +1,89 @@
+"""Checkpoint save/resume round-trips (SURVEY.md §5.4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ivit_tpu.models import VisionTransformer
+from ivit_tpu.train import create_train_state, make_train_step
+from ivit_tpu.utils import (
+    load_artifact,
+    load_checkpoint,
+    load_checkpoint_raw,
+    save_artifact,
+    save_checkpoint,
+)
+
+
+def tiny_state():
+    model = VisionTransformer(
+        img_size=16, patch_size=8, num_classes=8,
+        embed_dim=32, depth=1, num_heads=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+    tx = optax.adamw(1e-3)
+    state = create_train_state(model, rng, x[:1], tx, ema_decay=0.9)
+    return model, state, x
+
+
+class TestCheckpoint:
+    def test_full_state_round_trip(self, tmp_path):
+        model, state, x = tiny_state()
+        step = jax.jit(make_train_step(model, ema_decay=0.9))
+        targets = jax.nn.one_hot(jnp.zeros((4,), jnp.int32), 8)
+        state, _ = step(state, x, targets, jax.random.PRNGKey(1))
+
+        path = os.path.join(tmp_path, "ckpt.pkl")
+        save_checkpoint(path, state, {"epoch": 3, "best_acc1": 12.5})
+
+        _, fresh, _ = tiny_state()
+        restored, extra = load_checkpoint(path, fresh)
+        assert extra == {"epoch": 3, "best_acc1": 12.5}
+        assert int(restored.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer moments and EMA restored too
+        for a, b in zip(jax.tree.leaves(state.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # resumed training continues without error
+        state2, m = step(restored, x, targets, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_raw_restore_for_converter(self, tmp_path):
+        model, state, x = tiny_state()
+        path = os.path.join(tmp_path, "ckpt.pkl")
+        save_checkpoint(path, state, {})
+        raw, _ = load_checkpoint_raw(path)
+        assert "params" in raw and "quant_stats" in raw
+        # raw params usable by the deploy converter
+        from ivit_tpu.deploy import freeze_vit
+
+        artifact = freeze_vit(
+            model, {"params": raw["params"], "quant_stats": raw["quant_stats"]}
+        )
+        assert artifact["patch_embed"]["w"].dtype == np.int8
+
+    def test_artifact_round_trip(self, tmp_path):
+        model, state, x = tiny_state()
+        from ivit_tpu.deploy import build_vit_infer, freeze_vit
+
+        artifact = freeze_vit(
+            model,
+            jax.tree.map(
+                np.asarray,
+                {"params": state.params, "quant_stats": state.quant_stats},
+            ),
+        )
+        path = os.path.join(tmp_path, "artifact.pkl")
+        save_artifact(path, artifact)
+        loaded = load_artifact(path)
+        a = build_vit_infer(artifact, use_pallas=False)(x)
+        b = build_vit_infer(loaded, use_pallas=False)(x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
