@@ -252,10 +252,12 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             v_sum = jnp.sum(vmm.astype(jnp.int32), axis=2, keepdims=True)
             ctx = (256 * ctx_hi + ctx_lo + 128 * v_sum).astype(jnp.float32)
         else:
+            # HIGH (3-pass bf16) is exact for 15-bit × 7-bit operands and
+            # ~2× cheaper than HIGHEST (verified bit-equal on v5e).
             ctx = jax.lax.dot_general(
                 sm, vmm.astype(jnp.float32), dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision.HIGH,
             )
         s_ctx = s_sm * sa1
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)

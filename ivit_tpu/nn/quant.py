@@ -130,15 +130,15 @@ class QuantLinear(nn.Module):
         w_int = quantize(kernel, w_scale, self.weight_bits)  # broadcast on out
 
         out_scale = w_scale * jax.lax.stop_gradient(x.scale)  # (out,)
-        # HIGHEST precision: on TPU the default f32 matmul decomposes to
-        # bf16 passes, which cannot represent >8-bit integer carriers
-        # exactly; HIGHEST keeps the simulated integer matmul bit-exact.
-        # (Deploy mode replaces this with the native int8 MXU path.)
+        # On TPU the default f32 matmul decomposes to bf16 passes, which
+        # cannot represent >8-bit integer carriers exactly; pick the
+        # cheapest exact tier (deploy mode replaces this with the native
+        # int8 MXU path).
         y = jnp.dot(
             x.q,
             w_int,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_int_precision(x.bits, self.weight_bits),
         )
         if self.use_bias:
             bias = self.param(
@@ -146,6 +146,29 @@ class QuantLinear(nn.Module):
             )
             y = y + quantize(bias, out_scale, self.bias_bits)
         return QTensor(q=y, scale=out_scale, bits=32)
+
+
+# Opt-in fast QAT matmuls: forward stays exact for integer operands at
+# the cheaper precision tiers, but backward inherits them too — i.e.
+# bf16-rounded gradients (standard TPU training practice, but a numerics
+# change vs the reference's fp32 training). Default off until accuracy
+# is validated on real data.
+SIM_FAST_MATMUL = False
+
+
+def _int_precision(*bits):
+    """Cheapest TPU matmul precision that is exact for integer operands
+    of the given bitwidths: ≤8-bit values are exact in one bf16 pass
+    (DEFAULT); ≤16-bit need the 3-pass split (HIGH); wider fall back to
+    HIGHEST. Accumulation is f32 in all cases, identical across tiers."""
+    if not SIM_FAST_MATMUL:
+        return jax.lax.Precision.HIGHEST
+    m = max(bits)
+    if m <= 8:
+        return jax.lax.Precision.DEFAULT
+    if m <= 16:
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
 
 
 def quant_matmul(a: QTensor, b: QTensor) -> QTensor:
@@ -159,7 +182,7 @@ def quant_matmul(a: QTensor, b: QTensor) -> QTensor:
         a.q,
         b.q,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_int_precision(a.bits, b.bits),
     )
     return QTensor(q=y, scale=a.scale * b.scale, bits=32)
 

@@ -87,6 +87,11 @@ def build_parser():
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of steps [10, 10+N) "
                         "of epoch 0 into <output-dir>/profile")
+    p.add_argument("--max-steps-per-epoch", type=int, default=0,
+                   help="truncate each epoch after N steps (smoke tests)")
+    p.add_argument("--window-size", type=int, default=7,
+                   help="Swin window size (every stage resolution must "
+                        "divide by it, as in the reference)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from the "
                         "cluster env (the init_distributed_mode analogue, "
@@ -150,13 +155,15 @@ def main(argv=None):
         num_shards=jax.process_count(), shard=jax.process_index(),
     )
 
-    model = create_model(
-        args.model,
+    model_kwargs = dict(
         num_classes=args.nb_classes,
         img_size=args.input_size,
         drop_rate=args.drop,
         drop_path_rate=args.drop_path,
     )
+    if args.model.startswith("swin"):
+        model_kwargs["window_size"] = args.window_size
+    model = create_model(args.model, **model_kwargs)
 
     steps_per_epoch = max(1, len(train_loader))
     sched = cosine_schedule(
@@ -251,6 +258,8 @@ def main(argv=None):
         )
         t0 = time.time()
         for i, (images, labels) in enumerate(train_loader):
+            if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                break
             if args.profile_steps and epoch == 0 and i == 10:
                 jax.profiler.start_trace(
                     os.path.join(args.output_dir, "profile")

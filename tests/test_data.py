@@ -1,0 +1,119 @@
+"""Data pipeline tests: transforms, loader, samplers."""
+
+import numpy as np
+from PIL import Image
+
+from ivit_tpu.data import (
+    DataLoader,
+    RepeatAugSampler,
+    SyntheticDataset,
+    eval_transform,
+    train_transform,
+)
+from ivit_tpu.data.loader import ShuffleSampler
+from ivit_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    rand_augment,
+)
+
+
+def _img(w=300, h=240, seed=0):
+    rng = np.random.default_rng(seed)
+    return Image.fromarray(
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    )
+
+
+class TestTransforms:
+    def test_train_transform_shape_and_stats(self):
+        rng = np.random.default_rng(0)
+        out = train_transform(_img(), rng, size=224)
+        assert out.shape == (224, 224, 3)
+        assert out.dtype == np.float32
+        # normalized: roughly zero-mean-ish, values in a sane band
+        assert np.abs(out).max() < 10
+
+    def test_eval_transform_deterministic(self):
+        a = eval_transform(_img(), size=224)
+        b = eval_transform(_img(), size=224)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (224, 224, 3)
+        # un-normalize recovers [0, 1] pixels
+        px = a * IMAGENET_STD + IMAGENET_MEAN
+        assert px.min() >= -1e-5 and px.max() <= 1.0 + 1e-5
+
+    def test_rand_augment_runs_all_ops(self):
+        rng = np.random.default_rng(1)
+        img = _img(64, 64)
+        for _ in range(40):  # hits most of the 15 ops
+            out = rand_augment(img, rng)
+            assert out.size == (64, 64)
+
+    def test_train_transform_seeded_reproducible(self):
+        a = train_transform(_img(), np.random.default_rng(7), size=64)
+        b = train_transform(_img(), np.random.default_rng(7), size=64)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSamplers:
+    def test_shuffle_sampler_partition(self):
+        shards = [
+            ShuffleSampler(100, shard=i, num_shards=4, seed=1).epoch_indices(3)
+            for i in range(4)
+        ]
+        all_idx = np.concatenate(shards)
+        assert sorted(all_idx.tolist()) == list(range(100))
+        # different epochs shuffle differently
+        a = ShuffleSampler(100, seed=1).epoch_indices(0)
+        b = ShuffleSampler(100, seed=1).epoch_indices(1)
+        assert not np.array_equal(a, b)
+
+    def test_repeat_aug_sampler(self):
+        s = RepeatAugSampler(30, num_repeats=3, shard=0, num_shards=3)
+        idx = s.epoch_indices(0)
+        # ceil(30/3) kept per shard
+        assert len(idx) == 10
+        # union over shards covers repeats of the selected prefix
+        all_idx = np.concatenate([
+            RepeatAugSampler(30, num_repeats=3, shard=i, num_shards=3)
+            .epoch_indices(5)
+            for i in range(3)
+        ])
+        # every selected sample appears (repeated augmentation property)
+        counts = np.bincount(all_idx, minlength=30)
+        assert counts.max() <= 3
+
+
+class TestLoader:
+    def test_batches_and_epoch_reshuffle(self):
+        ds = SyntheticDataset(n=40, size=16, num_classes=5)
+        loader = DataLoader(
+            ds, batch_size=8,
+            transform=lambda img, rng: eval_transform(img, size=16),
+            num_workers=2, seed=0,
+        )
+        assert len(loader) == 5
+        batches = list(loader)
+        assert len(batches) == 5
+        images, labels = batches[0]
+        assert images.shape == (8, 16, 16, 3) and images.dtype == np.float32
+        assert labels.shape == (8,) and labels.dtype == np.int32
+
+        first_epoch = [b[1] for b in batches]
+        loader.set_epoch(1)
+        second_epoch = [b[1] for b in loader]
+        assert not all(
+            np.array_equal(a, b) for a, b in zip(first_epoch, second_epoch)
+        )
+
+    def test_drop_last_false_covers_all(self):
+        ds = SyntheticDataset(n=21, size=16, num_classes=5)
+        loader = DataLoader(
+            ds, batch_size=8,
+            transform=lambda img, rng: eval_transform(img, size=16),
+            sampler=ShuffleSampler(21, shuffle=False),
+            drop_last=False, num_workers=2,
+        )
+        seen = sum(len(lb) for _, lb in loader)
+        assert seen == 21
