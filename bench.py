@@ -114,13 +114,16 @@ def _float_vit_infer(artifact):
 
 
 def time_fn(fn, x, iters=ITERS):
-    out = fn(x)
-    jax.block_until_ready(out)  # compile + warmup
-    jax.block_until_ready(fn(x))
+    # Warmup/compile; the final host readback forces true completion
+    # (block_until_ready alone does not synchronize through the remote
+    # TPU relay — validated: loop throughput is execution-bound either
+    # way, but the explicit readback removes any doubt).
+    float(fn(x)[0, 0])
+    float(fn(x)[0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(x)
-    jax.block_until_ready(out)
+    float(out[0, 0])
     return (time.perf_counter() - t0) / iters
 
 

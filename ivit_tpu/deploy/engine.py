@@ -112,7 +112,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                     pallas_interpret: bool = False,
                     pallas_ops: tuple = DEFAULT_PALLAS_OPS,
                     strict_dyadic: bool = False,
-                    attn_v_mode: str = "f32"):
+                    attn_v_mode: str = "f32",
+                    sm_int16: bool = False):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
     ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
@@ -230,6 +231,11 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             )
             a8 = rq(attn, s_attn / ssm, *_INT8, jnp.float32)
             sm, _ = shiftmax(a8, jnp.float32(ssm), out_bits=16, interp=DEPLOY)
+            if sm_int16:
+                # materialize the softmax tensor as int16 (exact:
+                # ≤ 32767) — halves its HBM traffic if XLA keeps the
+                # int16 materialization (measured ~neutral on v5e).
+                sm = sm.astype(jnp.int16).astype(jnp.float32)
             if attn_v_mode == "exact":
                 hi8 = jnp.floor(sm / 256.0).astype(jnp.int8)
                 lo8 = (
