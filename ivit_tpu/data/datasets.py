@@ -64,7 +64,12 @@ class Cifar100:
 
 
 class SyntheticDataset:
-    """Deterministic random images — for tests/benchmarks without data."""
+    """Deterministic synthetic images — for tests/benchmarks without data.
+
+    Labels are recoverable from content (a bright square whose position
+    encodes the class), so training sanity checks can actually learn,
+    not just memorize noise.
+    """
 
     def __init__(self, n: int = 512, size: int = 224, num_classes: int = 1000,
                  seed: int = 0):
@@ -78,8 +83,14 @@ class SyntheticDataset:
 
     def load(self, idx: int):
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
-        arr = rng.integers(0, 256, (self.size, self.size, 3), dtype=np.uint8)
-        return Image.fromarray(arr), int(idx % self.num_classes)
+        arr = rng.integers(0, 128, (self.size, self.size, 3), dtype=np.uint8)
+        label = int(idx % self.num_classes)
+        # class-coded bright square on a grid
+        cells = max(2, int(np.ceil(np.sqrt(min(self.num_classes, 64)))))
+        cs = self.size // cells
+        cy, cx = divmod(label % (cells * cells), cells)
+        arr[cy * cs : (cy + 1) * cs, cx * cs : (cx + 1) * cs] = 255
+        return Image.fromarray(arr), label
 
 
 def build_dataset(name: str, data_dir: Optional[str], train: bool,

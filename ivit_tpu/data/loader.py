@@ -168,6 +168,8 @@ def build_dataloaders(args, dataset_train, dataset_val, num_shards=1, shard=0):
             size=args.input_size,
             color_jitter_strength=args.color_jitter,
             reprob=args.reprob,
+            crop_scale=(getattr(args, "min_crop_scale", 0.08), 1.0),
+            use_rand_augment=getattr(args, "aa", "rand") not in ("", "none"),
         )
 
     def tf_eval(img, rng=None):

@@ -221,15 +221,18 @@ def train_transform(
     ra_magnitude=9.0,
     ra_mag_std=0.5,
     reprob=0.25,
+    crop_scale=(0.08, 1.0),
+    use_rand_augment=True,
 ) -> np.ndarray:
     """Full DeiT train transform → float32 HWC."""
     img = img.convert("RGB")
-    img = random_resized_crop(img, rng, size)
+    img = random_resized_crop(img, rng, size, scale=crop_scale)
     if rng.random() < 0.5:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     if color_jitter_strength:
         img = color_jitter(img, rng, color_jitter_strength)
-    img = rand_augment(img, rng, magnitude=ra_magnitude, mag_std=ra_mag_std)
+    if use_rand_augment:
+        img = rand_augment(img, rng, magnitude=ra_magnitude, mag_std=ra_mag_std)
     arr = normalize(np.asarray(img, np.float32))
     arr = random_erasing(arr, rng, prob=reprob)
     return arr
