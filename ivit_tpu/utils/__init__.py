@@ -3,6 +3,8 @@ from .checkpoint import (
     save_checkpoint,
     load_checkpoint,
     load_checkpoint_raw,
+    save_checkpoint_orbax,
+    load_checkpoint_orbax,
     save_artifact,
     load_artifact,
 )

@@ -50,6 +50,39 @@ def load_checkpoint_raw(path: str):
     return payload["state"], payload.get("extra", {})
 
 
+def save_checkpoint_orbax(dirpath: str, state, extra: dict | None = None):
+    """Orbax saver — the multi-host/sharded-array path (each host writes
+    its shards; the pickle path above is single-host only). Metadata goes
+    to a JSON sidecar."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(dirpath, serialization.to_state_dict(state), force=True)
+    ckptr.wait_until_finished()
+    with open(dirpath + ".extra.json", "w") as f:
+        json.dump(extra or {}, f)
+
+
+def load_checkpoint_orbax(dirpath: str, target):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    ckptr = ocp.StandardCheckpointer()
+    tpl = serialization.to_state_dict(jax.tree.map(np.asarray, target))
+    payload = ckptr.restore(dirpath, target=tpl)
+    state = serialization.from_state_dict(target, payload)
+    extra = {}
+    if os.path.exists(dirpath + ".extra.json"):
+        with open(dirpath + ".extra.json") as f:
+            extra = json.load(f)
+    return state, extra
+
+
 def save_artifact(path: str, artifact: dict):
     """Persist a deploy artifact (the ``params.npy`` analogue,
     /root/reference/TVM_benchmark/convert_model.py:66)."""

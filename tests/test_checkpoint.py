@@ -70,6 +70,19 @@ class TestCheckpoint:
         )
         assert artifact["patch_embed"]["w"].dtype == np.int8
 
+    def test_orbax_round_trip(self, tmp_path):
+        from ivit_tpu.utils import load_checkpoint_orbax, save_checkpoint_orbax
+
+        model, state, x = tiny_state()
+        d = os.path.join(tmp_path, "orbax_ckpt")
+        save_checkpoint_orbax(d, state, {"epoch": 7})
+        _, fresh, _ = tiny_state()
+        restored, extra = load_checkpoint_orbax(d, fresh)
+        assert extra["epoch"] == 7
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_artifact_round_trip(self, tmp_path):
         model, state, x = tiny_state()
         from ivit_tpu.deploy import build_vit_infer, freeze_vit
