@@ -196,6 +196,13 @@ class SwinBlock(nn.Module):
         ws, shift = self.window_size, self.shift_size
         if min(Hr, Wr) <= ws:
             ws, shift = min(Hr, Wr), 0
+        if Hr % ws or Wr % ws:
+            raise ValueError(
+                f"stage resolution {Hr}x{Wr} not divisible by window {ws}; "
+                f"pick img_size/patch_size/window_size so every stage "
+                f"divides (the reference has the same constraint — 224/4 "
+                f"gives 56,28,14,7 for window 7)"
+            )
         B, L, C = x1.shape
 
         x = IntLayerNorm(self.dim, interp=it, name="norm1")(x1)

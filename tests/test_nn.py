@@ -81,6 +81,24 @@ class TestQuantAct:
         out2 = m.apply(variables, x, update_stats=False)
         assert float(out1.scale) == float(out2.scale)
 
+    def test_gradient_is_identity_in_real_units(self):
+        """Reference convention: STE makes d(real_out)/d(real_in) ≈ 1
+        through a QuantAct (SymmetricQuantFunction bwd grad/scale,
+        quant_utils.py:98-119, composed with the output rescale)."""
+        m = QuantAct(bits=8)
+        x = make_qtensor(jax.random.PRNGKey(3), (4, 16), bits=32, scale=1e-3)
+        variables = m.init(jax.random.PRNGKey(4), x, update_stats=True)
+
+        def real_out_sum(q_in):
+            out = m.apply(variables, QTensor(q=q_in, scale=x.scale, bits=32))
+            return jnp.sum(out.dequantize())
+
+        g = jax.grad(real_out_sum)(x.q)
+        # d(real_out)/d(q_in) = scale_in  ⇒  in real units the chain is
+        # identity: g / scale_in ≈ 1 wherever not clipped
+        ratio = np.asarray(g) / float(x.scale)
+        assert np.mean(np.abs(ratio - 1.0) < 1e-4) > 0.9
+
     def test_requantize_path_and_residual(self):
         key = jax.random.PRNGKey(0)
         x = make_qtensor(key, (2, 8, 16), bits=32, scale=1e-4)
@@ -162,6 +180,35 @@ class TestPatchEmbed:
         np.testing.assert_allclose(
             out.dequantize().reshape(2, 2, 2, 6), cout.dequantize(), rtol=1e-5
         )
+
+
+class TestQuantConv2d:
+    def test_general_conv_vs_float_oracle(self):
+        """Non-patch conv (stride < kernel) against the float conv."""
+        key = jax.random.PRNGKey(0)
+        img = jax.random.randint(key, (2, 9, 9, 4), -127, 128).astype(
+            jnp.float32
+        )
+        x = QTensor(q=img, scale=jnp.float32(0.02), bits=8)
+        m = QuantConv2d(features=6, kernel_size=(3, 3), strides=(2, 2))
+        variables = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(variables, x)
+        assert out.shape == (2, 4, 4, 6)
+        assert out.scale.shape == (6,)
+        assert_integral(out.q, tol=1e-2)
+
+        kernel = variables["params"]["kernel"]
+        bias = variables["params"]["bias"]
+        oracle = jax.lax.conv_general_dilated(
+            x.dequantize(), kernel, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        err = np.abs(np.asarray(out.dequantize()) - np.asarray(oracle))
+        # int8 weight quantization error bound
+        bound = float(jnp.max(jnp.abs(kernel))) / 127 * float(
+            jnp.max(jnp.sum(jnp.abs(x.dequantize())))
+        )
+        assert err.max() <= bound + 1e-4
 
 
 class TestIntModules:
