@@ -40,7 +40,8 @@ def create_train_state(
     return TrainState(
         step=jax.numpy.zeros((), jax.numpy.int32),
         params=params,
-        quant_stats=variables["quant_stats"],
+        # float reference models have no quantization state
+        quant_stats=variables.get("quant_stats", {}),
         opt_state=tx.init(params),
         # jnp.copy: EMA must not alias the live params (aliased buffers
         # break donation in jitted steps).

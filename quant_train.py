@@ -91,6 +91,13 @@ def build_parser():
                         "of epoch 0 into <output-dir>/profile")
     p.add_argument("--max-steps-per-epoch", type=int, default=0,
                    help="truncate each epoch after N steps (smoke tests)")
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate only (with --resume or --pretrained); "
+                        "no training")
+    p.add_argument("--calib-batches", type=int, default=0,
+                   help="before eval/training, run N train batches with "
+                        "EMA range updates to calibrate activation scales "
+                        "(needed when importing float checkpoints)")
     p.add_argument("--fast-matmul", action="store_true",
                    help="bits-aware matmul precision tiers: forward stays "
                         "integer-exact, backward sees bf16-rounded grads; "
@@ -260,6 +267,30 @@ def main(argv=None):
             "epoch %d  val acc@1 %.3f  acc@5 %.3f", epoch, acc1.avg, acc5.avg
         )
         return acc1.avg
+
+    if args.calib_batches > 0:
+        # PTQ-style range calibration: forward passes with EMA updates,
+        # no optimizer step (the analogue of the reference's scales
+        # settling during the first training batches).
+        calib_fwd = jax.jit(
+            lambda v, im: model.apply(
+                v, im, train=True, mutable=["quant_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+        )
+        variables = {"params": state.params, "quant_stats": state.quant_stats}
+        train_loader.set_epoch(0)
+        for i, (images, labels) in enumerate(train_loader):
+            if i >= args.calib_batches:
+                break
+            _, upd = calib_fwd(variables, jax.device_put(images, dsh))
+            variables = {"params": state.params, **upd}
+        state = state.replace(quant_stats=variables["quant_stats"])
+        logging.info("calibrated EMA ranges over %d batches", args.calib_batches)
+
+    if args.eval:
+        acc1 = validate(start_epoch)
+        return acc1
 
     step_rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs):
