@@ -7,7 +7,7 @@ Analogue of the reference ``str2model`` dict
 
 from __future__ import annotations
 
-from . import swin, vit, vit_float
+from . import swin, swin_float, vit, vit_float
 
 MODEL_REGISTRY = {
     "deit_tiny_fp32": vit_float.deit_tiny_fp32,
@@ -15,6 +15,9 @@ MODEL_REGISTRY = {
     "deit_base_fp32": vit_float.deit_base_fp32,
     "vit_base_fp32": vit_float.vit_base_fp32,
     "vit_large_fp32": vit_float.vit_large_fp32,
+    "swin_tiny_fp32": swin_float.swin_tiny_fp32,
+    "swin_small_fp32": swin_float.swin_small_fp32,
+    "swin_base_fp32": swin_float.swin_base_fp32,
     "deit_tiny": vit.deit_tiny_patch16_224,
     "deit_small": vit.deit_small_patch16_224,
     "deit_base": vit.deit_base_patch16_224,
