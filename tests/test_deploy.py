@@ -9,6 +9,7 @@ logits on the same inputs.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ivit_tpu.deploy import build_vit_infer, freeze_vit
 from ivit_tpu.models import VisionTransformer
@@ -34,6 +35,7 @@ def trained_tiny(rng_seed=0, steps=3):
 
 
 class TestDeployParity:
+    @pytest.mark.slow
     def test_sim_deploy_logits_match(self):
         model, variables = trained_tiny()
         x = jax.random.normal(jax.random.PRNGKey(42), (4, 16, 16, 3))
@@ -65,6 +67,7 @@ class TestDeployParity:
             assert blk["fc2"]["b"].dtype == np.int32
             assert blk["norm1"]["out_scale"].dtype == np.float32
 
+    @pytest.mark.slow
     def test_pallas_engine_bit_matches_pure(self):
         """Pallas-fused engine ≡ pure-XLA engine (interpret mode on CPU).
 

@@ -5,6 +5,7 @@ comparison (README.md:44-56)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ivit_tpu.models import VisionTransformer, create_model
 from ivit_tpu.models.vit_float import (
@@ -51,6 +52,7 @@ def test_fp32_registry_entries():
     assert m.embed_dim == 128
 
 
+@pytest.mark.slow
 def test_swin_int8_sim_close_to_float_reference():
     from ivit_tpu.models import SwinTransformer
     from ivit_tpu.models.swin_float import (

@@ -7,6 +7,7 @@ contract, checked across ALL intermediates via capture_intermediates.
 
 import jax
 import numpy as np
+import pytest
 
 from ivit_tpu.core.qtensor import QTensor, int_range
 from ivit_tpu.models import SwinTransformer, VisionTransformer
@@ -41,6 +42,7 @@ def check_all_intermediates(model, x, rng):
 
 
 class TestScalePropagation:
+    @pytest.mark.slow
     def test_vit_all_modules_integral_in_range(self):
         model = VisionTransformer(
             img_size=16, patch_size=8, num_classes=8,
@@ -50,6 +52,7 @@ class TestScalePropagation:
         n = check_all_intermediates(model, x, jax.random.PRNGKey(1))
         assert n >= 30  # 2 blocks × ~12 quant points + embed/head
 
+    @pytest.mark.slow
     def test_swin_all_modules_integral_in_range(self):
         model = SwinTransformer(
             img_size=16, patch_size=2, num_classes=8, embed_dim=16,

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
 from ivit_tpu.models import SwinTransformer
@@ -24,6 +25,7 @@ def trained_tiny_swin(steps=3):
 
 
 class TestSwinDeploy:
+    @pytest.mark.slow
     def test_sim_deploy_logits_match(self):
         model, variables = trained_tiny_swin()
         x = jax.random.normal(jax.random.PRNGKey(42), (2, 16, 16, 3))

@@ -27,6 +27,7 @@ def tiny_model():
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         model = tiny_model()
         rng = jax.random.PRNGKey(0)
@@ -104,6 +105,7 @@ class TestMesh:
         cls = shardings["cls_token"]
         assert cls.spec == jax.sharding.PartitionSpec()
 
+    @pytest.mark.slow
     def test_graft_entry_dryrun(self):
         from __graft_entry__ import dryrun_multichip
 
