@@ -224,11 +224,6 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             hi8 = hi8.reshape(B, H, N, Npad)
             lo8 = lo8.reshape(B, H, N, Npad)
             vmm = vp
-            if attn_v_mode == "f32":
-                sm = (
-                    256.0 * hi8.astype(jnp.float32)
-                    + lo8.astype(jnp.float32) + 128.0
-                )
         else:
             attn = jax.lax.dot_general(
                 q, k,
