@@ -27,7 +27,10 @@ _EPS = float(np.finfo(np.float32).eps)
 
 
 def _act_scale(stats, bits):
-    return float(
+    # np.float32, NOT python float: every downstream ratio must be
+    # computed in f32 exactly as the simulator computes it under jit —
+    # a float64 intermediate double-rounds and flips requant boundaries.
+    return np.float32(
         symmetric_scale(
             stats["min_val"].astype(np.float32),
             stats["max_val"].astype(np.float32),
@@ -36,25 +39,50 @@ def _act_scale(stats, bits):
     )
 
 
+def _jit_freeze_linear(kernel, in_scale, weight_bits):
+    """Weight/bias quantization through the simulator's own jitted ops.
+
+    Host numpy MUST NOT quantize here: XLA's TPU f32 division resolves
+    exact .5 ties differently than the host (reciprocal-multiply
+    lowering), so quantizing on-host flips ~1-in-10⁵ weights relative to
+    what the simulator trained with. Running the same jitted functions
+    keeps freeze ≡ sim bit-for-bit on the deployment device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.ste import quantize
+
+    @jax.jit
+    def f(kernel, in_scale):
+        w_scale = weight_scale(kernel.T, weight_bits)
+        w_int = quantize(kernel, w_scale, weight_bits)
+        return w_int, w_scale * in_scale
+
+    return f(jnp.asarray(kernel), jnp.float32(in_scale))
+
+
 def _freeze_linear(p, in_scale, weight_bits=8):
     """QuantLinear params → int8 weights / int32 bias / per-channel scale.
 
     ``in_scale`` may be scalar; output scale is ``w_scale · in_scale``
     (quant_modules.py:85-97).
     """
-    kernel = np.asarray(p["kernel"], np.float32)  # (in, out)
-    w_scale = np.asarray(weight_scale(kernel.T, weight_bits), np.float32)
-    n = 2 ** (weight_bits - 1) - 1
-    w_int = np.clip(np.round(kernel / w_scale), -n - 1, n).astype(np.int8)
-    # f32 arithmetic throughout: the simulator computes these products in
-    # f32 under jit, and 1-ulp drift here would break bit-parity tests.
-    out_scale = (w_scale * np.float32(in_scale)).astype(np.float32)
-    out = {"w": w_int, "out_scale": out_scale}
+    w_int, out_scale = _jit_freeze_linear(p["kernel"], in_scale, weight_bits)
+    out = {
+        "w": np.asarray(w_int, np.float32).astype(np.int8),
+        "out_scale": np.asarray(out_scale, np.float32),
+    }
     if "bias" in p:
-        bias = np.asarray(p["bias"], np.float32)
-        out["b"] = np.clip(
-            np.round(bias / out_scale), -(2**31), 2**31 - 1
-        ).astype(np.int32)
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.ste import quantize as _q
+
+        b_int = jax.jit(lambda b, s: _q(b, s, 32))(
+            jnp.asarray(p["bias"]), out_scale
+        )
+        out["b"] = np.asarray(b_int, np.float64).astype(np.int32)
     return out
 
 

@@ -144,7 +144,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     D, H = cfg["embed_dim"], cfg["num_heads"]
     hd = D // H
     p = cfg["patch_size"]
-    qk_scale = float(hd) ** -0.5
+    # f32 scalar: ratio arithmetic must match the simulator's f32 ops
+    qk_scale = np.float32(float(hd) ** -0.5)
     interpret = pallas_interpret
 
     def _block(x, s_x, blk, N):
@@ -175,9 +176,9 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         k = z[..., C:2 * C].reshape(B, N, H, hd)
         v = z[..., 2 * C:].reshape(B, N, H, hd)
 
-        s_attn = sa1 * sa1 * qk_scale
+        s_attn = np.float32(sa1 * sa1) * qk_scale
         ssm = blk["s_attn_sm_in"]
-        s_sm = 1.0 / 2.0**15
+        s_sm = np.float32(1.0 / 2.0**15)
         sao = blk["s_attn_out"]
 
         if p_attn:
@@ -316,7 +317,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         sg_in = blk["s_gelu_in"]
         sg_out = blk["s_gelu_out"]
         Ch = acc.shape[-1]
-        s_g = sg_in / 2.0**7  # ShiftGELU output scale, out_bits=8
+        # ShiftGELU output scale, out_bits=8 (f32 arithmetic as in sim)
+        s_g = np.float32(sg_in * np.float32(1.0 / 2.0**7))
 
         if p_gelu and Ch % 128 == 0:
             g8 = fused_requant_shiftgelu(

@@ -24,6 +24,7 @@ from ..nn.quant import (
     QuantAct,
     QuantLinear,
     QuantPatchEmbed,
+    exact_int_matmul_8x8,
 )
 from ..nn.vit_blocks import Mlp, drop_path
 from ..ops import SIM, Interp
@@ -107,12 +108,7 @@ class WindowAttention(nn.Module):
         parts = qkv.q.reshape(Bw, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         v_scale = qkv.scale
 
-        attn_q = jnp.matmul(
-            parts[0],
-            parts[1].transpose(0, 1, 3, 2),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        attn_q = exact_int_matmul_8x8(parts[0], parts[1].transpose(0, 1, 3, 2))
         attn = QTensor(
             q=attn_q, scale=qkv.scale * qkv.scale * (D**-0.5), bits=32
         )
@@ -153,12 +149,7 @@ class WindowAttention(nn.Module):
                 q=nn.Dropout(self.attn_drop, deterministic=False)(attn.q)
             )
 
-        out_q = jnp.matmul(
-            attn.q,
-            parts[2],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out_q = exact_int_matmul_8x8(attn.q, parts[2])
         out = QTensor(
             q=out_q.transpose(0, 2, 1, 3).reshape(Bw, N, C),
             scale=attn.scale * v_scale,

@@ -130,21 +130,19 @@ class QuantLinear(nn.Module):
         w_int = quantize(kernel, w_scale, self.weight_bits)  # broadcast on out
 
         out_scale = w_scale * jax.lax.stop_gradient(x.scale)  # (out,)
-        # On TPU the default f32 matmul decomposes to bf16 passes, which
-        # cannot represent >8-bit integer carriers exactly; pick the
-        # cheapest exact tier (deploy mode replaces this with the native
-        # int8 MXU path).
-        y = jnp.dot(
-            x.q,
-            w_int,
-            preferred_element_type=jnp.float32,
-            precision=_int_precision(x.bits, self.weight_bits),
-        )
+        # Integer-exact forward: a true int8 MXU dot with the int32 bias
+        # folded into the accumulator — bit-identical to the deploy
+        # engine at every model size (f32 accumulation would silently
+        # round above 2^24, e.g. fc2's K=1536). Gradients remain
+        # full-precision f32 matmuls (custom_vjp).
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            y = y + quantize(bias, out_scale, self.bias_bits)
+            b_int = quantize(bias, out_scale, self.bias_bits)
+            y = exact_int8_dot_bias(x.q, w_int, b_int)
+        else:
+            y = exact_int8_dot(x.q, w_int)
         return QTensor(q=y, scale=out_scale, bits=32)
 
 
@@ -171,6 +169,150 @@ def _int_precision(*bits):
     return jax.lax.Precision.HIGHEST
 
 
+# ---------------------------------------------------------------------------
+# Integer-exact simulated matmuls.
+#
+# f32 accumulation rounds once partial sums exceed 2^24 (fc2's K=1536 and
+# the softmax@V contraction do), so a float-carrier simulator silently
+# diverges from the int32-exact deploy engine at full model size — the
+# same drift class the reference has between its torch-QAT and TVM paths.
+# These custom_vjp dots run the FORWARD as true int8/int32 MXU dots
+# (bit-identical to deployment, and faster than HIGHEST f32) while the
+# BACKWARD keeps full-precision f32 matmuls, so training gradients are
+# unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _leading_axes(x):
+    return tuple(range(x.ndim - 1))
+
+
+def _bwd_precision():
+    # SIM_FAST_MATMUL trades full-precision f32 gradients for one-pass
+    # bf16 (forward is integer-exact either way).
+    return (
+        jax.lax.Precision.DEFAULT
+        if SIM_FAST_MATMUL
+        else jax.lax.Precision.HIGHEST
+    )
+
+
+@jax.custom_vjp
+def exact_int8_dot_bias(x, w, b):
+    """x: (..., K) int8-valued f32 carrier; w: (K, N) int8-valued;
+    b: (N,) int32-valued. Forward = true int8 MXU dot with the bias added
+    in int32 — bit-identical to the deploy engine's accumulator."""
+    y = jax.lax.dot_general(
+        x.astype(jnp.int8),
+        w.astype(jnp.int8),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + b.astype(jnp.int32)
+    return y.astype(jnp.float32)
+
+
+def _eidb_fwd(x, w, b):
+    return exact_int8_dot_bias(x, w, b), (x, w)
+
+
+def _eidb_bwd(res, g):
+    x, w = res
+    p = _bwd_precision()
+    dx = jnp.matmul(g, w.T, precision=p)
+    dw = jax.lax.dot_general(
+        x, g,
+        dimension_numbers=((_leading_axes(x), _leading_axes(g)), ((), ())),
+        precision=p,
+    )
+    db = jnp.sum(g, axis=_leading_axes(g))
+    return dx, dw, db
+
+
+exact_int8_dot_bias.defvjp(_eidb_fwd, _eidb_bwd)
+
+
+@jax.custom_vjp
+def exact_int8_dot(x, w):
+    """Bias-free variant of :func:`exact_int8_dot_bias`."""
+    y = jax.lax.dot_general(
+        x.astype(jnp.int8),
+        w.astype(jnp.int8),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32)
+
+
+def _exact_int8_dot_fwd(x, w):
+    return exact_int8_dot(x, w), (x, w)
+
+
+def _exact_int8_dot_bwd(res, g):
+    dx, dw, _ = _eidb_bwd(res, g)
+    return dx, dw
+
+
+exact_int8_dot.defvjp(_exact_int8_dot_fwd, _exact_int8_dot_bwd)
+
+
+def _swap_last2(a):
+    perm = list(range(a.ndim))
+    perm[-1], perm[-2] = perm[-2], perm[-1]
+    return a.transpose(perm)
+
+
+def _int_mm(a, b):
+    """Batched last-two-dims integer matmul; both int8-valued."""
+    dims = (
+        ((a.ndim - 1,), (b.ndim - 2,)),
+        (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2))),
+    )
+    return jax.lax.dot_general(
+        a.astype(jnp.int8), b.astype(jnp.int8),
+        dimension_numbers=dims, preferred_element_type=jnp.int32,
+    )
+
+
+@jax.custom_vjp
+def exact_int_matmul_16x8(a, b):
+    """Batched matmul of a 16-bit-valued carrier with an 8-bit-valued
+    carrier: base-256 split into two int8 MXU dots + rank-1 correction —
+    exact in int32 for |a| < 2^15."""
+    hi = jnp.floor(a / 256.0)
+    lo = a - hi * 256.0 - 128.0
+    c = 256 * _int_mm(hi, b) + _int_mm(lo, b)
+    corr = 128 * jnp.sum(b.astype(jnp.int32), axis=-2, keepdims=True)
+    return (c + corr).astype(jnp.float32)
+
+
+def _eim_fwd(a, b):
+    return exact_int_matmul_16x8(a, b), (a, b)
+
+
+def _eim_bwd(res, g):
+    a, b = res
+    p = _bwd_precision()
+    da = jnp.matmul(g, _swap_last2(b), precision=p)
+    db = jnp.matmul(_swap_last2(a), g, precision=p)
+    return da, db
+
+
+exact_int_matmul_16x8.defvjp(_eim_fwd, _eim_bwd)
+
+
+@jax.custom_vjp
+def exact_int_matmul_8x8(a, b):
+    """Batched matmul of two 8-bit-valued carriers as a true int8 dot."""
+    return _int_mm(a, b).astype(jnp.float32)
+
+
+def _eim8_fwd(a, b):
+    return exact_int_matmul_8x8(a, b), (a, b)
+
+
+exact_int_matmul_8x8.defvjp(_eim8_fwd, _eim_bwd)
+
+
 def quant_matmul(a: QTensor, b: QTensor) -> QTensor:
     """Integer activation·activation matmul over the last two axes.
 
@@ -178,12 +320,17 @@ def quant_matmul(a: QTensor, b: QTensor) -> QTensor:
     (quant_modules.py:223-228). Both operands are integer-valued, so the
     product is integer-valued at ``s_a · s_b``.
     """
-    y = jnp.matmul(
-        a.q,
-        b.q,
-        preferred_element_type=jnp.float32,
-        precision=_int_precision(a.bits, b.bits),
-    )
+    m = max(a.bits, b.bits)
+    if m <= 8:
+        y = exact_int_matmul_8x8(a.q, b.q)
+    elif a.bits <= 16 and b.bits <= 8:
+        y = exact_int_matmul_16x8(a.q, b.q)
+    else:
+        y = jnp.matmul(
+            a.q, b.q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return QTensor(q=y, scale=a.scale * b.scale, bits=32)
 
 
