@@ -1,6 +1,9 @@
 """Train-step + mesh-sharding tests on the virtual 8-device CPU mesh
 (SURVEY.md §4e — something the reference never had)."""
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,6 +113,41 @@ class TestMesh:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+    @pytest.mark.slow
+    def test_graft_entry_dryrun_driver_env(self):
+        """Run dryrun_multichip the way the driver does: a fresh process
+        under the ambient env (JAX_PLATFORMS=axon, no virtual-device
+        flags) — conftest's forced CPU-8 env must NOT leak in. Guards
+        against the round-1 failure mode (MULTICHIP_r01 rc=1) where the
+        entry point assumed the mesh was pre-provisioned.
+        """
+        import re
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "axon"  # the ambient platform
+        env["XLA_FLAGS"] = re.sub(
+            r"--?xla_force_host_platform_device_count=\d+",
+            "",
+            env.get("XLA_FLAGS", ""),
+        ).strip()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "from __graft_entry__ import dryrun_multichip; "
+                "dryrun_multichip(8)",
+            ],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "mesh={'data': 4, 'model': 2}" in proc.stdout, proc.stdout
 
 
 class TestAugment:
