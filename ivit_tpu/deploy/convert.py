@@ -88,12 +88,31 @@ def _freeze_linear(p, in_scale, weight_bits=8):
 
 def _freeze_layernorm(p, dim):
     """IntLayerNorm: γ folds into the per-channel output scale, β into an
-    integer bias (quant_modules.py:372-385)."""
-    gamma = np.asarray(p["scale"], np.float32)
-    beta = np.asarray(p["bias"], np.float32)
+    integer bias (quant_modules.py:372-385).
+
+    Computed through jitted device ops, not host numpy: the simulator
+    derives ``bias_int = ⌊(β/γ)/base⌋`` on the device at runtime, and
+    XLA's TPU f32 division resolves exact ties differently than the
+    host — the same drift class ``_jit_freeze_linear`` closes for
+    weights."""
+    import jax
+    import jax.numpy as jnp
+
     base = np.float32(math.sqrt(dim) / 2.0**30)
-    bias_int = np.floor((beta / gamma) / base).astype(np.float32)
-    return {"bias_int": bias_int, "out_scale": (gamma * base).astype(np.float32)}
+
+    @jax.jit
+    def f(gamma, beta):
+        bias_int = jnp.floor((beta / gamma) / base)
+        return bias_int, gamma * base
+
+    bias_int, out_scale = f(
+        jnp.asarray(p["scale"], jnp.float32),
+        jnp.asarray(p["bias"], jnp.float32),
+    )
+    return {
+        "bias_int": np.asarray(bias_int, np.float32),
+        "out_scale": np.asarray(out_scale, np.float32),
+    }
 
 
 def freeze_vit(model, variables) -> dict:

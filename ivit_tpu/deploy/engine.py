@@ -45,6 +45,31 @@ def _requant(acc, ratio, lo, hi, dtype):
     return jnp.clip(y, lo, hi).astype(dtype)
 
 
+def _scale(v):
+    """Pin a frozen scale as a runtime device value.
+
+    Every ratio division downstream then executes on the deployment
+    device with the same lowering as the simulator's (which divides
+    live traced scales under jit). Left as a host/compile-time
+    constant, XLA would fold the division with host-evaluator
+    semantics, whose exact-tie behavior differs from the TPU's
+    reciprocal-multiply division — flipping requant boundaries vs sim
+    (the round-1 residual TPU-parity gap; weight freezing was moved
+    on-device for the same reason, convert._jit_freeze_linear)."""
+    return jax.lax.optimization_barrier(jnp.asarray(v, jnp.float32))
+
+
+def _mat(x, dtype):
+    """Pin a compact integer materialization of an integer-valued f32
+    carrier (profiler-guided): without the barrier XLA materializes the
+    f32 carrier at fusion boundaries — 4× the HBM bytes for int8-valued
+    tensors, which dominates the engine (the chains are HBM-bound, not
+    VPU-bound). The conversion is exact for in-range integer values, so
+    bit-parity with the simulator is untouched; consumers convert back
+    to f32 inside their own fusions."""
+    return jax.lax.optimization_barrier(x.astype(dtype))
+
+
 def _requant_strict(acc, ratio, lo, hi, dtype):
     """Integer-ISA-exact requant: dyadic (m, e) multiply+shift in 16-bit
     limbs (core/dyadic.py), round-half-away — the semantics the
@@ -81,15 +106,18 @@ def _pad_axis(x, axis, target):
 
 
 def _layernorm_requant(x, norm, s_out, bits, lo, hi, use_pallas, interpret):
-    """I-LayerNorm (frozen γ/β) + requant. x: f32 carrier (..., C)."""
+    """I-LayerNorm (frozen γ/β) + requant. x: f32 carrier (..., C).
+
+    ``s_out`` may be a host float or an already-pinned device scale;
+    the ratio division runs on the device (see ``_scale``)."""
     C = x.shape[-1]
-    ratio = (norm["out_scale"] / np.float32(s_out)).astype(np.float32)
+    ratio = _scale(norm["out_scale"]) / _scale(s_out)
     if use_pallas and C % 128 == 0 and bits == 8:
         flat = x.reshape(-1, C)
         out = fused_layernorm_requant(
             flat,
             jnp.asarray(norm["bias_int"]),
-            jnp.asarray(ratio),
+            ratio,
             bits=bits,
             interpret=interpret,
         )
@@ -98,7 +126,7 @@ def _layernorm_requant(x, norm, s_out, bits, lo, hi, use_pallas, interpret):
         x, jnp.ones((C,)), jnp.zeros((C,)), interp=DEPLOY
     )
     y = y + jnp.asarray(norm["bias_int"])
-    return _requant(y, jnp.asarray(ratio), lo, hi, jnp.int8 if bits == 8 else jnp.float32)
+    return _requant(y, ratio, lo, hi, jnp.int8 if bits == 8 else jnp.float32)
 
 
 # Measured end-to-end on v5e (batch 128, DeiT-S): XLA's own fusions beat
@@ -164,8 +192,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
 
         qkv = blk["qkv"]
         acc = _linear(y, qkv)
-        sa1 = blk["s_attn_qact1"]
-        z = rq(acc, qkv["out_scale"] / sa1, *_INT8, jnp.int8)
+        sa1 = _scale(blk["s_attn_qact1"])
+        z = rq(acc, _scale(qkv["out_scale"]) / sa1, *_INT8, jnp.int8)
 
         # Slice q/k/v on the feature axis, keeping the (B, N, H, hd)
         # layout — batch dims in the dot_generals below make head-split
@@ -176,23 +204,33 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         k = z[..., C:2 * C].reshape(B, N, H, hd)
         v = z[..., 2 * C:].reshape(B, N, H, hd)
 
-        s_attn = np.float32(sa1 * sa1) * qk_scale
-        ssm = blk["s_attn_sm_in"]
+        # scale arithmetic in the same op order as the simulator:
+        # quant_matmul scale product, then the folded 1/sqrt(head_dim)
+        # (vit_blocks.py:100-102) — all on-device.
+        s_attn = (sa1 * sa1) * qk_scale
+        ssm = _scale(blk["s_attn_sm_in"])
         s_sm = np.float32(1.0 / 2.0**15)
-        sao = blk["s_attn_out"]
+        sao = _scale(blk["s_attn_out"])
 
         if p_attn:
-            # fully-fused attention: the (N, N) matrix never leaves VMEM.
-            s_ctx = s_sm * sa1
+            # fully-fused attention: the (N, N) matrix never leaves
+            # VMEM. Kernel parameters are compile-time host floats —
+            # this path trades strict device-division parity for the
+            # fused kernel (batch-1 latency regime).
+            h_sa1 = float(blk["s_attn_qact1"])
+            h_sattn = np.float32(h_sa1 * h_sa1) * qk_scale
+            h_ssm = float(blk["s_attn_sm_in"])
+            h_sao = float(blk["s_attn_out"])
+            s_ctx = s_sm * h_sa1
             G = B * H
             qp = _pad_axis(q.transpose(0, 2, 1, 3), 2, Npad).reshape(G, Npad, hd)
             kp = _pad_axis(k.transpose(0, 2, 1, 3), 2, Npad).reshape(G, Npad, hd)
             vp = _pad_axis(v.transpose(0, 2, 1, 3), 2, Npad).reshape(G, Npad, hd)
             c8 = fused_int8_attention(
                 qp, kp, vp,
-                r1=float(s_attn / ssm),
-                scale=float(ssm),
-                r_out=float(s_ctx / sao),
+                r1=float(h_sattn / h_ssm),
+                scale=h_ssm,
+                r_out=float(s_ctx / h_sao),
                 n_valid=N,
                 out_bits=16,
                 interpret=interpret,
@@ -216,8 +254,12 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             )  # (B, H, N, Npad)
             hi8, lo8 = fused_requant_shiftmax(
                 attn.reshape(-1, Npad),
-                r1=float(s_attn / ssm),
-                scale=float(ssm),
+                r1=float(
+                    np.float32(
+                        float(blk["s_attn_qact1"]) ** 2
+                    ) * qk_scale / float(blk["s_attn_sm_in"])
+                ),
+                scale=float(blk["s_attn_sm_in"]),
                 n_valid=N,
                 out_bits=16,
                 interpret=interpret,
@@ -231,8 +273,20 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
                 preferred_element_type=jnp.int32,
             )  # (B, H, N, N)
-            a8 = rq(attn, s_attn / ssm, *_INT8, jnp.float32)
-            sm, _ = shiftmax(a8, jnp.float32(ssm), out_bits=16, interp=DEPLOY)
+            # s8 materialization: 30 MB instead of 119 MB f32 per
+            # block; the softmax row max then reads the s8 tensor.
+            # (Hoisting the max onto the int32 logits — exact, since
+            # requant with a positive scalar ratio is monotone — was
+            # measured SLOWER: the reduce cannot ride the MXU dot, so
+            # it forces the 119 MB int32 accumulator to materialize.)
+            a8 = _mat(
+                rq(attn, s_attn / ssm, *_INT8, jnp.float32), jnp.int8
+            ).astype(jnp.float32)
+            # split_normalize=True (recompute exp instead of
+            # materializing it) measured slower here: the duplicate
+            # shift-exp VPU work costs more than the 155 MB f32
+            # materialization it avoids.
+            sm, _ = shiftmax(a8, ssm, out_bits=16, interp=DEPLOY)
             if sm_int16:
                 # materialize the softmax tensor as int16 (exact:
                 # ≤ 32767) — halves its HBM traffic if XLA keeps the
@@ -272,7 +326,13 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 precision=jax.lax.Precision.HIGH,
             )
         s_ctx = s_sm * sa1
-        ctx = rq(ctx, s_ctx / sao, *_INT8, jnp.int8)  # (B, H, N, hd)
+        # barrier pins the int8 conversion before the (H, N) transpose
+        # copy the proj matmul needs (otherwise XLA copies in f32).
+        ctx = _mat(rq(ctx, s_ctx / sao, *_INT8, jnp.int8), jnp.int8)
+        # explicit head-merge AFTER the s8 barrier: the (H, N) transpose
+        # copy then moves int8 bytes, not the f32 carrier XLA's layout
+        # assignment would otherwise copy before converting.
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)
         return _attn_tail(x, s_x, blk, ctx)
 
     def _attn_tail(x, s_x, blk, ctx):
@@ -292,16 +352,20 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 acc = acc + jnp.asarray(proj["b"])
         else:
             acc = _linear(ctx, proj)
-        sap = blk["s_attn_proj"]
-        ctx = rq(acc, proj["out_scale"] / sap, *_INT16, jnp.float32)
+        sap = _scale(blk["s_attn_proj"])
+        ctx = rq(acc, _scale(proj["out_scale"]) / sap, *_INT16, jnp.float32)
 
-        # residual merge (dual-scale 16-bit, vit_quant.py:135)
-        sr1 = blk["s_res1"]
-        x = jnp.clip(
-            jnp.round(ctx * (sap / sr1))
-            + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
-            *_INT16,
-        )
+        # residual merge (dual-scale 16-bit, vit_quant.py:135); s16
+        # materialization halves the residual stream's HBM traffic.
+        sr1 = _scale(blk["s_res1"])
+        x = _mat(
+            jnp.clip(
+                jnp.round(ctx * (sap / sr1))
+                + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
+                *_INT16,
+            ),
+            jnp.int16,
+        ).astype(jnp.float32)
         s_x = sr1
 
         # --- MLP half ---
@@ -314,42 +378,56 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
 
         fc1 = blk["fc1"]
         acc = _linear(y, fc1)
-        sg_in = blk["s_gelu_in"]
-        sg_out = blk["s_gelu_out"]
+        sg_in = _scale(blk["s_gelu_in"])
+        sg_out = _scale(blk["s_gelu_out"])
         Ch = acc.shape[-1]
         # ShiftGELU output scale, out_bits=8 (f32 arithmetic as in sim)
-        s_g = np.float32(sg_in * np.float32(1.0 / 2.0**7))
+        s_g = sg_in * np.float32(1.0 / 2.0**7)
 
         if p_gelu and Ch % 128 == 0:
+            h_sg_in = float(blk["s_gelu_in"])
+            h_s_g = np.float32(h_sg_in * np.float32(1.0 / 2.0**7))
             g8 = fused_requant_shiftgelu(
                 acc.reshape(-1, Ch),
-                jnp.asarray((fc1["out_scale"] / np.float32(sg_in)).astype(np.float32)),
-                s_in=float(sg_in),
-                r2=float(s_g / sg_out),
+                jnp.asarray(
+                    (fc1["out_scale"] / np.float32(h_sg_in)).astype(np.float32)
+                ),
+                s_in=h_sg_in,
+                r2=float(h_s_g / float(blk["s_gelu_out"])),
                 out_bits=8,
                 interpret=interpret,
             ).reshape(B, N, Ch)
         else:
-            gq = rq(acc, fc1["out_scale"] / sg_in, *_INT8, jnp.float32)
-            g, _ = shiftgelu(gq, jnp.float32(sg_in), out_bits=8, interp=DEPLOY)
+            # s8 materialization: 39 MB instead of 155 MB f32 — the
+            # gelu chain re-reads its input twice (sum pass + final).
+            gq = _mat(
+                rq(acc, _scale(fc1["out_scale"]) / sg_in, *_INT8, jnp.float32),
+                jnp.int8,
+            ).astype(jnp.float32)
+            g, _ = shiftgelu(gq, sg_in, out_bits=8, interp=DEPLOY)
             g8 = rq(g, s_g / sg_out, *_INT8, jnp.int8)
 
         fc2 = blk["fc2"]
         acc = _linear(g8, fc2)
-        smo = blk["s_mlp_out"]
-        m = rq(acc, fc2["out_scale"] / smo, *_INT16, jnp.float32)
+        smo = _scale(blk["s_mlp_out"])
+        m = rq(acc, _scale(fc2["out_scale"]) / smo, *_INT16, jnp.float32)
 
-        sr2 = blk["s_res2"]
-        x = jnp.clip(
-            jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
-            *_INT16,
-        )
+        sr2 = _scale(blk["s_res2"])
+        x = _mat(
+            jnp.clip(
+                jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
+                *_INT16,
+            ),
+            jnp.int16,
+        ).astype(jnp.float32)
         return x, sr2
 
     def infer(images):
         B = images.shape[0]
         s_in = artifact["input_scale"]
-        x = jnp.clip(jnp.round(images / s_in), *_INT8).astype(jnp.int8)
+        x = jnp.clip(
+            jnp.round(images / _scale(s_in)), *_INT8
+        ).astype(jnp.int8)
 
         # Patch embed: space-to-depth + int8 matmul.
         gh = cfg["img_size"] // p
@@ -357,8 +435,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gh, p * p * 3)
         pe = artifact["patch_embed"]
         acc = _linear(x, pe)
-        s_embed = artifact["embed_scale"]
-        x = rq(acc, pe["out_scale"] / s_embed, *_INT16, jnp.int32)
+        s_embed = _scale(artifact["embed_scale"])
+        x = rq(acc, _scale(pe["out_scale"]) / s_embed, *_INT16, jnp.int32)
 
         # cls concat at the shared scale; pos-embed dual-scale merge
         # (vit_quant.py:259-265).
@@ -366,14 +444,18 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             jnp.asarray(artifact["cls_q"], jnp.int32), (B, 1, D)
         )
         x = jnp.concatenate([cls, x], axis=1)
-        s_tok = artifact["tokens_scale"]
+        s_tok = _scale(artifact["tokens_scale"])
         pos = jnp.round(
-            jnp.asarray(artifact["pos_q"]) * (artifact["pos_scale"] / s_tok)
+            jnp.asarray(artifact["pos_q"])
+            * (_scale(artifact["pos_scale"]) / s_tok)
         )
-        x = jnp.clip(
-            jnp.round(x.astype(jnp.float32) * (s_embed / s_tok)) + pos,
-            *_INT16,
-        )
+        x = _mat(
+            jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (s_embed / s_tok)) + pos,
+                *_INT16,
+            ),
+            jnp.int16,
+        ).astype(jnp.float32)
         s_x = s_tok
         N = x.shape[1]
 

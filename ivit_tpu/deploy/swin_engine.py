@@ -19,7 +19,29 @@ import jax.numpy as jnp
 from ..models.swin import relative_position_index, sw_attn_mask, window_partition, window_reverse
 from ..ops import DEPLOY, shiftgelu, shiftmax
 from .convert import _act_scale, _freeze_layernorm, _freeze_linear
-from .engine import _INT8, _INT16, _linear, _requant, _layernorm_requant
+from .engine import (
+    _INT8,
+    _INT16,
+    _layernorm_requant,
+    _linear,
+    _mat,
+    _requant,
+    _scale,
+)
+
+
+@jax.jit
+def _jit_scale_ops(table, s_table, s_bias):
+    """Device-side: quantize the rel-pos-bias table at s_table and the
+    table→bias requant ratio (divisions must run with the device's f32
+    lowering, not host numpy — TPU exact-tie behavior differs)."""
+    tq = jnp.clip(jnp.round(table / s_table), -128, 127)
+    return tq, s_table / s_bias
+
+
+@jax.jit
+def _jit_mask_int(mask, s_bias):
+    return mask / s_bias
 
 
 def freeze_swin(model, variables) -> dict:
@@ -76,23 +98,26 @@ def freeze_swin(model, variables) -> dict:
             s_mlp_out = _act_scale(bs["mlp"]["qact2"], 16)
             s_res2 = _act_scale(bs["qact4"], 16)
 
-            # pre-gather + pre-requantize the relative position bias into
-            # the post-merge scale s_bias (int addend).
+            # pre-gather + pre-requantize the relative position bias
+            # into the post-merge scale s_bias (int addend). Quantize
+            # and requantize through jitted device ops so the divisions
+            # match the simulator's on-device lowering (same policy as
+            # _jit_freeze_linear).
             table = np.asarray(
                 bp["attn"]["relative_position_bias_table"], np.float32
             )
-            tq = np.clip(np.round(table / np.float32(s_table)), -128, 127)
+            tq, ratio_tb = _jit_scale_ops(table, s_table, s_bias)
             idx = relative_position_index(ws).reshape(-1)
             N = ws * ws
             nH = model.num_heads[i]
-            bias_q = tq[idx].reshape(N, N, nH).transpose(2, 0, 1)
+            bias_q = np.asarray(tq)[idx].reshape(N, N, nH).transpose(2, 0, 1)
             bias_req = np.round(
-                bias_q * np.float32(s_table / s_bias)
+                bias_q * np.float32(ratio_tb)
             ).astype(np.float32)
 
             mask = sw_attn_mask(res, res, ws, shift)
             mask_int = (
-                (mask / np.float32(s_bias)).astype(np.float32)
+                np.asarray(_jit_mask_int(mask, s_bias), np.float32)
                 if mask is not None
                 else None
             )
@@ -161,8 +186,10 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         hd = C // H
 
         acc = _linear(x8, blk["qkv"])
-        sa1 = blk["s_attn_qact1"]
-        z = _requant(acc, blk["qkv"]["out_scale"] / sa1, *_INT8, jnp.int8)
+        sa1 = _scale(blk["s_attn_qact1"])
+        z = _requant(
+            acc, _scale(blk["qkv"]["out_scale"]) / sa1, *_INT8, jnp.int8
+        )
         z = z.reshape(Bw, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = z[0], z[1], z[2]
 
@@ -171,16 +198,19 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.int32,
         )
-        s_attn = sa1 * sa1 * (float(hd) ** -0.5)
-        s1 = blk["s_attn1"]
+        s_attn = sa1 * sa1 * np.float32(float(hd) ** -0.5)
+        s1 = _scale(blk["s_attn1"])
         a8 = _requant(attn, s_attn / s1, *_INT8, jnp.float32)
 
         # dual-scale bias merge, pre-requantized at freeze time
-        sb = blk["s_bias"]
+        sb = _scale(blk["s_bias"])
         a8 = jnp.clip(
             jnp.round(a8 * (s1 / sb)) + jnp.asarray(blk["bias_req"])[None],
             *_INT8,
         )
+        # s8 materialization of the merged scores; the SW-MSA mask addend
+        # (−100/s_bias, NOT integral) must be applied after, in f32.
+        a8 = _mat(a8, jnp.int8).astype(jnp.float32)
         if blk["mask_int"] is not None:
             m = jnp.asarray(blk["mask_int"])
             nW = m.shape[0]
@@ -188,7 +218,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                 a8.reshape(Bw // nW, nW, H, N, N) + m[None, :, None]
             ).reshape(Bw, H, N, N)
 
-        sm, _ = shiftmax(a8, jnp.float32(sb), out_bits=8, interp=DEPLOY)
+        sm, _ = shiftmax(a8, sb, out_bits=8, interp=DEPLOY)
         sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])
         s_sm = 1.0 / 2.0**7
 
@@ -200,11 +230,13 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         ctx = ctx.transpose(0, 2, 1, 3).reshape(Bw, N, C)
         s_ctx = s_sm * sa1
 
-        so = blk["s_attn_out"]
-        c8 = _requant(ctx, s_ctx / so, *_INT8, jnp.int8)
+        so = _scale(blk["s_attn_out"])
+        c8 = _mat(_requant(ctx, s_ctx / so, *_INT8, jnp.int8), jnp.int8)
         acc = _linear(c8, blk["proj"])
-        sap = blk["s_attn_proj"]
-        out = _requant(acc, blk["proj"]["out_scale"] / sap, *_INT16, jnp.float32)
+        sap = _scale(blk["s_attn_proj"])
+        out = _requant(
+            acc, _scale(blk["proj"]["out_scale"]) / sap, *_INT16, jnp.float32
+        )
         return out, sap
 
     def _block(x, s_x, blk):
@@ -229,12 +261,15 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             g = jnp.roll(g, (shift, shift), axis=(1, 2))
         a = g.reshape(B, L, C)
 
-        sr1 = blk["s_res1"]
-        x = jnp.clip(
-            jnp.round(a * (sap / sr1))
-            + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
-            *_INT16,
-        )
+        sr1 = _scale(blk["s_res1"])
+        x = _mat(
+            jnp.clip(
+                jnp.round(a * (sap / sr1))
+                + jnp.round(x.astype(jnp.float32) * (s_x / sr1)),
+                *_INT16,
+            ),
+            jnp.int16,
+        ).astype(jnp.float32)
         s_x = sr1  # identity branch of the next residual is at sr1 now
 
         s3 = blk["s_qact3"]
@@ -243,21 +278,33 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         ).astype(jnp.int8)
 
         acc = _linear(y, blk["fc1"])
-        sg_in, sg_out = blk["s_gelu_in"], blk["s_gelu_out"]
-        gq = _requant(acc, blk["fc1"]["out_scale"] / sg_in, *_INT8, jnp.float32)
-        gl, _ = shiftgelu(gq, jnp.float32(sg_in), out_bits=8, interp=DEPLOY)
-        s_g = sg_in / 2.0**7
+        sg_in = _scale(blk["s_gelu_in"])
+        sg_out = _scale(blk["s_gelu_out"])
+        gq = _mat(
+            _requant(
+                acc, _scale(blk["fc1"]["out_scale"]) / sg_in, *_INT8,
+                jnp.float32,
+            ),
+            jnp.int8,
+        ).astype(jnp.float32)
+        gl, _ = shiftgelu(gq, sg_in, out_bits=8, interp=DEPLOY)
+        s_g = sg_in * np.float32(1.0 / 2.0**7)
         g8 = _requant(gl, s_g / sg_out, *_INT8, jnp.int8)
 
         acc = _linear(g8, blk["fc2"])
-        smo = blk["s_mlp_out"]
-        m = _requant(acc, blk["fc2"]["out_scale"] / smo, *_INT16, jnp.float32)
-
-        sr2 = blk["s_res2"]
-        x = jnp.clip(
-            jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
-            *_INT16,
+        smo = _scale(blk["s_mlp_out"])
+        m = _requant(
+            acc, _scale(blk["fc2"]["out_scale"]) / smo, *_INT16, jnp.float32
         )
+
+        sr2 = _scale(blk["s_res2"])
+        x = _mat(
+            jnp.clip(
+                jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
+                *_INT16,
+            ),
+            jnp.int16,
+        ).astype(jnp.float32)
         return x, sr2
 
     def _downsample(x, s_x, ds):
@@ -273,22 +320,26 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             use_pallas, interpret,
         ).astype(jnp.int8)
         acc = _linear(y, ds["reduction"])
-        so = ds["s_out"]
-        out = _requant(acc, ds["reduction"]["out_scale"] / so, *_INT8, jnp.float32)
+        so = _scale(ds["s_out"])
+        out = _requant(
+            acc, _scale(ds["reduction"]["out_scale"]) / so, *_INT8,
+            jnp.float32,
+        )
         return out, so
 
     def infer(images):
         B = images.shape[0]
-        s_in = artifact["input_scale"]
-        x = jnp.clip(jnp.round(images / s_in), *_INT8).astype(jnp.int8)
+        x = jnp.clip(
+            jnp.round(images / _scale(artifact["input_scale"])), *_INT8
+        ).astype(jnp.int8)
 
         gh = cfg["img_size"] // p
         x = x.reshape(B, gh, p, gh, p, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gh, p * p * 3)
         pe = artifact["patch_embed"]
         acc = _linear(x, pe)
-        sbn = artifact["s_before_norm"]
-        x = _requant(acc, pe["out_scale"] / sbn, *_INT8, jnp.float32)
+        sbn = _scale(artifact["s_before_norm"])
+        x = _requant(acc, _scale(pe["out_scale"]) / sbn, *_INT8, jnp.float32)
 
         # patch norm → 16-bit embed scale → 16-bit token scale
         pn = artifact["patch_norm"]
@@ -297,9 +348,9 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         D = cfg["embed_dim"]
         y, _ = int_layernorm(x, jnp.ones((D,)), jnp.zeros((D,)), interp=DEPLOY)
         y = y + jnp.asarray(pn["bias_int"])
-        s_e = artifact["embed_scale"]
-        x = _requant(y, jnp.asarray(pn["out_scale"]) / s_e, *_INT16, jnp.float32)
-        s_tok = artifact["tokens_scale"]
+        s_e = _scale(artifact["embed_scale"])
+        x = _requant(y, _scale(pn["out_scale"]) / s_e, *_INT16, jnp.float32)
+        s_tok = _scale(artifact["tokens_scale"])
         x = jnp.clip(jnp.round(x * (s_e / s_tok)), *_INT16)
         s_x = s_tok
 
@@ -317,8 +368,8 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         y = y.astype(jnp.float32)
         # token-mean pool then requant to the head scale
         y = jnp.mean(y, axis=1)
-        s3 = artifact["s_qact3"]
-        y8 = _requant(y, s2 / s3, *_INT8, jnp.int8)
+        s3 = _scale(artifact["s_qact3"])
+        y8 = _requant(y, _scale(s2) / s3, *_INT8, jnp.int8)
         head = artifact["head"]
         logits = _linear(y8, head)
         return logits.astype(jnp.float32) * head["out_scale"]

@@ -56,7 +56,14 @@ def _one_head(q, k, v, *, r1, scale, n, out_bits, n_valid, r_out):
     e = jnp.clip(e, 0.0, _I32_MAX)
     e = jnp.where(valid, e, 0.0)
 
-    esum = jnp.clip(jnp.sum(e, axis=-1, keepdims=True), 1.0, _I32_MAX)
+    # order-independent exact row sum (ops/shiftmax.py spec)
+    ehi = jnp.floor(e * (1.0 / 2.0**16))
+    elo = e - ehi * (2.0**16)
+    esum = (
+        jnp.sum(ehi, axis=-1, keepdims=True) * (2.0**16)
+        + jnp.sum(elo, axis=-1, keepdims=True)
+    )
+    esum = jnp.clip(esum, 1.0, _I32_MAX)
     factor = jnp.floor(_I32_MAX / esum)
     sm = jnp.floor(e * factor / 2.0 ** (32 - out_bits))
 

@@ -22,9 +22,20 @@ _ROWS = 256
 
 def _kernel(x_ref, bias_ref, ratio_ref, out_ref, *, lo, hi):
     x = x_ref[...].astype(jnp.float32)
-    mean = jnp.round(jnp.mean(x, axis=-1, keepdims=True))
+    d = x.shape[-1]
+    # exact one-pass stats in int32 lanes (ops/intnorm.py spec):
+    # q2 = a2*2^16 + 2ab*2^8 + b2, var = Sq2 - 2m*Sq + D*m2
+    xi = x.astype(jnp.int32)
+    a = xi >> 8
+    b = xi & 255
+    s_q = jnp.sum(xi, axis=-1, keepdims=True).astype(jnp.float32)
+    s_aa = jnp.sum(a * a, axis=-1, keepdims=True).astype(jnp.float32)
+    s_ab = jnp.sum(a * b, axis=-1, keepdims=True).astype(jnp.float32)
+    s_bb = jnp.sum(b * b, axis=-1, keepdims=True).astype(jnp.float32)
+    mean = jnp.round(s_q / d)
+    sq2 = s_aa * (2.0**16) + s_ab * (2.0**9) + s_bb
+    var = jnp.maximum(sq2 - 2.0 * mean * s_q + d * mean * mean, 0.0)
     y = x - mean
-    var = jnp.sum(y * y, axis=-1, keepdims=True)
 
     k = jnp.full_like(var, 2.0**16)
     for _ in range(10):

@@ -55,7 +55,14 @@ def _kernel(x_ref, hi_ref, lo_ref, *, r1, scale, n, out_bits, n_valid):
     exp_int = jnp.clip(exp_int, 0.0, _I32_MAX)
     exp_int = jnp.where(valid, exp_int, 0.0)
 
-    exp_sum = jnp.clip(jnp.sum(exp_int, axis=-1, keepdims=True), 1.0, _I32_MAX)
+    # order-independent exact row sum (ops/shiftmax.py spec)
+    ehi = jnp.floor(exp_int * (1.0 / 2.0**16))
+    elo = exp_int - ehi * (2.0**16)
+    exp_sum = (
+        jnp.sum(ehi, axis=-1, keepdims=True) * (2.0**16)
+        + jnp.sum(elo, axis=-1, keepdims=True)
+    )
+    exp_sum = jnp.clip(exp_sum, 1.0, _I32_MAX)
     factor = jnp.floor(_I32_MAX / exp_sum)
     sm = jnp.floor(exp_int * factor / 2.0 ** (32 - out_bits))
 

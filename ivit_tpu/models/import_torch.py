@@ -18,9 +18,60 @@ Missing/extra keys are tolerated and logged (strict=False semantics).
 from __future__ import annotations
 
 import logging
+import math
 from typing import Dict
 
 import numpy as np
+
+
+def resize_pos_embed(
+    posemb: np.ndarray, ntok_new: int, num_tokens: int = 1
+) -> np.ndarray:
+    """Bicubic grid resize of a (1, N, D) position embedding.
+
+    The reference resizes augreg/DeiT pos-embeds whose grid differs from
+    the model's via ``F.interpolate(mode='bicubic',
+    align_corners=False)`` (/root/reference/models/utils.py:78-100).
+    torch-cpu reproduces that exactly; without torch, jax.image.resize
+    is a close (different cubic kernel) fallback.
+    """
+    posemb_tok = posemb[:, :num_tokens]
+    grid = posemb[0, num_tokens:]
+    gs_old = int(round(math.sqrt(grid.shape[0])))
+    gs_new = int(round(math.sqrt(ntok_new - num_tokens)))
+    if gs_old * gs_old != grid.shape[0]:
+        raise ValueError(f"pos embed grid {grid.shape[0]} not square")
+    if gs_new * gs_new != ntok_new - num_tokens:
+        raise ValueError(f"target token count {ntok_new} not square")
+    g = np.ascontiguousarray(
+        grid.reshape(1, gs_old, gs_old, -1).transpose(0, 3, 1, 2),
+        dtype=np.float32,
+    )
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        g = (
+            F.interpolate(
+                torch.from_numpy(g),
+                size=(gs_new, gs_new),
+                mode="bicubic",
+                align_corners=False,
+            )
+            .numpy()
+        )
+    except ImportError:  # pragma: no cover - torch is in the image
+        import jax
+
+        g = np.asarray(
+            jax.image.resize(
+                g, (1, g.shape[1], gs_new, gs_new), method="bicubic"
+            )
+        )
+    g = g.transpose(0, 2, 3, 1).reshape(1, gs_new * gs_new, -1)
+    return np.concatenate(
+        [posemb_tok, g.astype(np.float32)], axis=1
+    ).astype(np.float32)
 
 
 def _to_numpy(t):
@@ -175,4 +226,14 @@ def load_pretrained(path: str, model_name: str, init_params: dict) -> dict:
             loaded = torch_swin_to_params(sd)
         else:
             loaded = torch_vit_to_params(sd)
+    if "pos_embed" in loaded and "pos_embed" in init_params:
+        tgt = tuple(np.shape(init_params["pos_embed"]))
+        if tuple(loaded["pos_embed"].shape) != tgt:
+            logging.info(
+                "resizing pos_embed %s -> %s (bicubic)",
+                loaded["pos_embed"].shape, tgt,
+            )
+            loaded["pos_embed"] = resize_pos_embed(
+                loaded["pos_embed"], tgt[1]
+            )
     return merge_params(init_params, loaded)

@@ -26,7 +26,7 @@ from ..nn.quant import (
     QuantPatchEmbed,
     exact_int_matmul_8x8,
 )
-from ..nn.vit_blocks import Mlp, drop_path
+from ..nn.vit_blocks import Mlp, drop_path, quant_dropout
 from ..ops import SIM, Interp
 
 
@@ -145,9 +145,7 @@ class WindowAttention(nn.Module):
 
         attn = IntSoftmax(out_bits=8, interp=it, name="int_softmax")(attn)
         if train and self.attn_drop > 0.0:
-            attn = attn.replace(
-                q=nn.Dropout(self.attn_drop, deterministic=False)(attn.q)
-            )
+            attn = quant_dropout(self, attn, self.attn_drop)
 
         out_q = exact_int_matmul_8x8(attn.q, parts[2])
         out = QTensor(
@@ -159,9 +157,7 @@ class WindowAttention(nn.Module):
         out = QuantLinear(C, interp=it, name="proj")(out)
         out = QuantAct(16, interp=it, name="qact4")(out, update_stats=train)
         if train and self.proj_drop > 0.0:
-            out = out.replace(
-                q=nn.Dropout(self.proj_drop, deterministic=False)(out.q)
-            )
+            out = quant_dropout(self, out, self.proj_drop)
         return out
 
 

@@ -19,6 +19,25 @@ from ..ops import SIM, Interp
 from .quant import IntGELU, IntLayerNorm, IntSoftmax, QuantAct, QuantLinear, quant_matmul
 
 
+def quant_dropout(module: nn.Module, x: QTensor, rate: float) -> QTensor:
+    """Dropout on a QTensor without breaking carrier integrality.
+
+    ``nn.Dropout`` scales survivors by 1/keep, which would make the
+    integer carrier non-integral (up to 127/keep) and wrap in the exact
+    int8/16×8 MXU dots downstream. Instead the 0/1 mask hits the carrier
+    and the 1/keep rescale folds into the scale — same expected value as
+    the reference's float dropout (layers_quant.py:148,151;
+    vit_quant.py:77), integer carrier preserved.
+    """
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(module.make_rng("dropout"), keep, x.q.shape)
+    return QTensor(
+        q=x.q * mask.astype(x.q.dtype),
+        scale=x.scale * jnp.float32(1.0 / keep),
+        bits=x.bits,
+    )
+
+
 def drop_path(
     x: QTensor,
     rate: float,
@@ -57,11 +76,13 @@ class Mlp(nn.Module):
         x = IntGELU(out_bits=8, interp=it, name="act")(x)
         x = QuantAct(8, interp=it, name="qact1")(x, update_stats=train)
         if train and self.drop > 0.0:
-            x = x.replace(
-                q=nn.Dropout(self.drop, deterministic=False)(x.q)
-            )
+            x = quant_dropout(self, x, self.drop)
         x = QuantLinear(self.out_features, interp=it, name="fc2")(x)
         x = QuantAct(16, interp=it, name="qact2")(x, update_stats=train)
+        # second drop site, mirroring the reference's
+        # fc2 → qact2 → drop (layers_quant.py:151-153)
+        if train and self.drop > 0.0:
+            x = quant_dropout(self, x, self.drop)
         return x
 
 
@@ -103,9 +124,7 @@ class Attention(nn.Module):
         attn = QuantAct(8, interp=it, name="qact_attn1")(attn, update_stats=train)
         attn = IntSoftmax(out_bits=16, interp=it, name="int_softmax")(attn)
         if train and self.attn_drop > 0.0:
-            attn = attn.replace(
-                q=nn.Dropout(self.attn_drop, deterministic=False)(attn.q)
-            )
+            attn = quant_dropout(self, attn, self.attn_drop)
 
         out = quant_matmul(attn, v)  # (B, H, N, D) @ (B, H, N, D)
         out = out.replace(q=out.q.transpose(0, 2, 1, 3).reshape(B, N, C))
@@ -114,9 +133,7 @@ class Attention(nn.Module):
         out = QuantLinear(C, interp=it, name="proj")(out)
         out = QuantAct(16, interp=it, name="qact3")(out, update_stats=train)
         if train and self.proj_drop > 0.0:
-            out = out.replace(
-                q=nn.Dropout(self.proj_drop, deterministic=False)(out.q)
-            )
+            out = quant_dropout(self, out, self.proj_drop)
         return out
 
 

@@ -11,6 +11,19 @@ Reference: IntLayerNorm
 the Relay twin (/root/reference/TVM_benchmark/models/layers.py:329-350).
 Note LayerNorm is scale-invariant: the input scale cancels and is not
 consumed (the reference likewise never reads it after forming x_int).
+
+Mean and variance are computed **order-independently exactly** in one
+pass over the data (int32 lanes; the expanded identity
+``Σ(q−m)² = Σq² − 2mΣq + Dm²`` with ``Σq²`` carried as an exact hi/lo
+pair). A plain f32 reduce rounds order-dependently above 2^24, so the
+simulator and the deploy engine — compiled in different fusion
+contexts — could drift on TPU (the round-1 residual-parity class).
+Here every reduce is exact for 16-bit carriers and D ≤ 8192, and the
+few recombining f32 roundings are a fixed expression tree, identical in
+both interpreters. This also matches the reference's TVM deploy side,
+which accumulates LayerNorm statistics in integer registers exactly
+(layers.py:329-350); the reference's torch QAT side rounds in f32 —
+one more of the sim↔deploy drifts this rebuild removes.
 """
 
 from __future__ import annotations
@@ -24,6 +37,26 @@ from .interp import DEPLOY, Interp
 
 _I32_MAX = 2.0**31 - 1.0
 _NEWTON_ITERS = 10
+
+
+def _exact_stats(q: jax.Array):
+    """One-pass exact (Σq, Σq²) over the last axis in int32 lanes.
+
+    Exact for integer-valued ``q`` with |q| < 2^16 and row length
+    ≤ 8192: Σq ≤ 2^29 fits int32; q² < 2^32 is carried as
+    ``hi·2^15 + lo`` with both partial sums ≤ 2^28.
+    """
+    qi = q.astype(jnp.int32)
+    # int32 q·q would wrap for |q| > 46340, so split the factors:
+    # q² = a²·2^16 + 2ab·2^8 + b² with a = q>>8, b = q&255 — every term
+    # < 2^17 and every row sum ≤ 8192·2^16 = 2^29, exact in int32.
+    a = qi >> 8
+    b = qi & 255
+    s_q = jnp.sum(qi, axis=-1, keepdims=True)
+    s_aa = jnp.sum(a * a, axis=-1, keepdims=True)
+    s_ab = jnp.sum(a * b, axis=-1, keepdims=True)
+    s_bb = jnp.sum(b * b, axis=-1, keepdims=True)
+    return s_q, s_aa, s_ab, s_bb
 
 
 def int_layernorm(
@@ -40,11 +73,36 @@ def int_layernorm(
     quant_modules.py:377).
     """
     d = q.shape[-1]
+    assert d <= 8192, "exact int32 LayerNorm stats need row length <= 8192"
     base_scale = math.sqrt(d) / 2.0**30
 
-    mean = interp.round(jnp.mean(q, axis=-1, keepdims=True))
-    y = q - mean
-    var = jnp.sum(y * y, axis=-1, keepdims=True)
+    qs = jax.lax.stop_gradient(q)
+    s_q, s_aa, s_ab, s_bb = _exact_stats(qs)
+    sum_f = s_q.astype(jnp.float32)  # ≤ 2^29: one deterministic rounding
+    mean_val = jnp.round(sum_f / d)
+    # Expanded identity, fixed expression tree (deterministic rounding):
+    # Σq² = Σa²·2^16 + Σab·2^9 + Σb² ;  var = Σq² − 2mΣq + Dm²
+    sq2 = (
+        s_aa.astype(jnp.float32) * (2.0**16)
+        + s_ab.astype(jnp.float32) * (2.0**9)
+        + s_bb.astype(jnp.float32)
+    )
+    var_val = sq2 - 2.0 * mean_val * sum_f + d * mean_val * mean_val
+    var_val = jnp.maximum(var_val, 0.0)  # guard f32 cancellation
+
+    if interp.is_sim:
+        # Differentiable twin + STE correction: forward takes the exact
+        # values, gradients flow through the float formulation (the
+        # reference's autograd path, quant_modules.py:359-363).
+        mean_f = interp.round(jnp.mean(q, axis=-1, keepdims=True))
+        mean = mean_f + jax.lax.stop_gradient(mean_val - mean_f)
+        y = q - mean
+        var_f = jnp.sum(y * y, axis=-1, keepdims=True)
+        var = var_f + jax.lax.stop_gradient(var_val - var_f)
+    else:
+        mean = mean_val
+        y = q - mean
+        var = var_val
 
     # Integer Newton iteration for floor(sqrt(var)), seeded at 2^16.
     k = jnp.full_like(var, 2.0**16)

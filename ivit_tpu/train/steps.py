@@ -85,13 +85,25 @@ def make_train_step(
 
 
 def make_eval_step(model):
-    """Frozen-range eval step: (variables, images, labels) → metrics."""
+    """Frozen-range eval step: (variables, images, labels, n_valid) → metrics.
 
-    def eval_step(variables, images, labels):
+    ``n_valid`` masks rows padded on by the caller to reach a
+    batch-size multiple of the mesh — padded duplicates must not
+    contaminate the accuracy mean (they would bias best-checkpoint
+    selection on val sets whose size is not a batch multiple).
+    """
+
+    def eval_step(variables, images, labels, n_valid):
         logits = model.apply(variables, images, train=False)
-        return {
-            "acc1": topk_accuracy(logits, labels, 1),
-            "acc5": topk_accuracy(logits, labels, 5),
-        }
+        valid = (
+            jnp.arange(labels.shape[0]) < n_valid
+        ).astype(jnp.float32)
+
+        def acc(k):
+            topk = jnp.argsort(logits, axis=-1)[:, -k:]
+            hit = jnp.any(topk == labels[:, None], axis=-1)
+            return jnp.sum(hit * valid) / n_valid * 100.0
+
+        return {"acc1": acc(1), "acc5": acc(5)}
 
     return eval_step

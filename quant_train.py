@@ -260,6 +260,7 @@ def main(argv=None):
                 variables,
                 jax.device_put(images, dsh),
                 jax.device_put(labels, dsh),
+                jnp.float32(n),
             )
             acc1.update(float(m["acc1"]), n)
             acc5.update(float(m["acc5"]), n)

@@ -1,0 +1,58 @@
+"""Time engine variants (batch-128 DeiT-S) without the FP32 baseline.
+
+Usage: python scripts/bench_variants.py [variant ...]
+Variants: default, exact, sm16, exact_sm16, pallas_sm, pallas_attn
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from ivit_tpu.deploy import build_vit_infer, freeze_vit
+from ivit_tpu.models import create_model
+
+BATCH = 128
+ITERS = 30
+
+VARIANTS = {
+    "default": {},
+    "exact": {"attn_v_mode": "exact"},
+    "sm16": {"sm_int16": True},
+    "exact_sm16": {"attn_v_mode": "exact", "sm_int16": True},
+    "pallas_sm": {"pallas_ops": ("softmax",), "attn_v_mode": "exact"},
+    "pallas_attn": {"pallas_ops": ("attention",)},
+}
+
+
+def time_fn(fn, x, iters=ITERS):
+    float(fn(x)[0, 0])
+    float(fn(x)[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    float(out[0, 0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    names = sys.argv[1:] or ["default"]
+    model = create_model("deit_small")
+    rng = jax.random.PRNGKey(0)
+    sample = jax.random.normal(rng, (2, 224, 224, 3))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
+        jax.random.PRNGKey(1), sample
+    )
+    artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+    images = jax.random.normal(rng, (BATCH, 224, 224, 3))
+    for name in names:
+        fn = jax.jit(build_vit_infer(artifact, **VARIANTS[name]))
+        t = time_fn(fn, images)
+        print(f"{name:14s} {t*1e3:7.2f} ms  {BATCH/t:8.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()

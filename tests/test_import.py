@@ -142,3 +142,62 @@ class TestTorchImport:
         params = npz_vit_to_params(g, depth)
         assert params["blocks_0"]["attn"]["qkv"]["kernel"].shape == (D, 3 * D)
         assert params["patch_embed"]["proj"]["kernel"].shape == (8 * 8 * 3, D)
+
+
+class TestPosEmbedResize:
+    def test_bicubic_resize_matches_torch_reference(self):
+        """resize_pos_embed reproduces the reference's torch
+        F.interpolate(mode='bicubic', align_corners=False)
+        (/root/reference/models/utils.py:78-100)."""
+        import torch
+        import torch.nn.functional as F
+
+        from ivit_tpu.models.import_torch import resize_pos_embed
+
+        rng = np.random.default_rng(0)
+        D = 16
+        posemb = rng.normal(size=(1, 1 + 10 * 10, D)).astype(np.float32)
+        out = resize_pos_embed(posemb, 1 + 14 * 14)
+        assert out.shape == (1, 1 + 14 * 14, D)
+        # cls token untouched
+        np.testing.assert_array_equal(out[:, :1], posemb[:, :1])
+
+        grid = torch.from_numpy(
+            posemb[0, 1:].reshape(1, 10, 10, D).transpose(0, 3, 1, 2).copy()
+        )
+        ref = (
+            F.interpolate(
+                grid, size=(14, 14), mode="bicubic", align_corners=False
+            )
+            .permute(0, 2, 3, 1)
+            .reshape(1, 14 * 14, D)
+            .numpy()
+        )
+        np.testing.assert_allclose(out[:, 1:], ref, rtol=1e-5, atol=1e-6)
+
+    def test_load_pretrained_resizes_mismatched_grid(self, tmp_path):
+        """A checkpoint with a different patch grid must be resized, not
+        silently dropped (round-1 VERDICT gap #4)."""
+        from ivit_tpu.models.import_torch import load_pretrained
+
+        model = VisionTransformer(
+            img_size=16, patch_size=4, num_classes=8,
+            embed_dim=32, depth=2, num_heads=4,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+        init_params = jax.tree.map(np.asarray, variables["params"])
+
+        # fake ckpt with an 8x8 grid (vs the model's 4x4)
+        sd = fake_torch_sd(D=32, depth=2, heads=4, p=4, img=32, classes=8)
+        import torch
+
+        path = tmp_path / "ckpt.pth"
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+        merged = load_pretrained(str(path), "deit_tiny", init_params)
+        assert merged["pos_embed"].shape == init_params["pos_embed"].shape
+        # resized grid is not the random init
+        assert not np.allclose(
+            merged["pos_embed"], init_params["pos_embed"]
+        )

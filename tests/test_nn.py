@@ -255,6 +255,38 @@ class TestBlocks:
         assert out.shape == (2, 5, 32)
         assert_integral(out.q, tol=1e-2)
 
+    def test_dropout_keeps_carrier_integral(self):
+        """Dropout must mask the integer carrier 0/1 and fold 1/keep
+        into the scale — nn.Dropout's carrier rescale would wrap in the
+        exact int8 dots (round-1 advisor finding)."""
+        x = make_qtensor(jax.random.PRNGKey(0), (2, 5, 32), bits=8, scale=0.02)
+        m = Mlp(hidden_features=64, out_features=32, drop=0.5)
+        variables = m.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            x, train=True,
+        )
+        out = m.apply(
+            variables, x, train=True,
+            mutable=["quant_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )[0]
+        assert_integral(out.q, tol=1e-2)
+
+        a = Attention(dim=32, num_heads=4, attn_drop=0.5, proj_drop=0.5)
+        av = a.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            x, train=True,
+        )
+        aout = a.apply(
+            av, x, train=True,
+            mutable=["quant_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )[0]
+        assert_integral(aout.q, tol=1e-2)
+        assert bool(jnp.all(jnp.isfinite(aout.q)))
+
     def test_block_forward_and_grad(self):
         x = make_qtensor(jax.random.PRNGKey(0), (2, 5, 32), bits=16, scale=0.01)
         m = Block(dim=32, num_heads=4)
