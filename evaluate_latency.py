@@ -26,9 +26,14 @@ def main(argv=None):
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--nb-classes", default=1000, type=int)
     p.add_argument("--repeat", default=100, type=int)
-    p.add_argument("--pallas-attention", action="store_true",
-                   help="fully-fused int8 attention kernel (wins in the "
-                        "batch-1 latency regime: 0.51 vs 0.68 ms DeiT-S)")
+    p.add_argument("--pallas-attention", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="fully-fused int8 attention kernel. Default "
+                        "auto-selects by regime: ON at batch size <= 8 "
+                        "(wins the latency regime, 0.51 vs 0.68 ms "
+                        "DeiT-S batch 1) and OFF at larger batches "
+                        "(XLA's batched matmuls win at batch 128); "
+                        "--no-pallas-attention forces it off")
     args = p.parse_args(argv)
 
     import jax
@@ -62,9 +67,15 @@ def main(argv=None):
         ),
         jnp.float32,
     )
+    use_fused_attn = args.pallas_attention
+    if use_fused_attn is None:
+        # measured crossover on v5e: the fused kernel wins small-batch
+        # latency, XLA's batched matmuls win large-batch throughput
+        use_fused_attn = args.batch_size <= 8
     kwargs = {}
-    if args.pallas_attention and not is_swin:
+    if use_fused_attn and not is_swin and jax.default_backend() != "cpu":
         kwargs = dict(use_pallas=True, pallas_ops=("attention",))
+        print("engine: fused int8 attention (batch-1 latency regime)")
     # AOT compile (the relay.build analogue).
     t0 = time.perf_counter()
     compiled = jax.jit(build_infer(artifact, **kwargs)).lower(images).compile()

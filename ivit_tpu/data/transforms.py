@@ -229,10 +229,13 @@ def train_transform(
     img = random_resized_crop(img, rng, size, scale=crop_scale)
     if rng.random() < 0.5:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
-    if color_jitter_strength:
-        img = color_jitter(img, rng, color_jitter_strength)
     if use_rand_augment:
+        # timm's create_transform (the reference's builder,
+        # utils/data_utils.py:66-77) disables color jitter when
+        # auto-augment is active; applying both over-augments.
         img = rand_augment(img, rng, magnitude=ra_magnitude, mag_std=ra_mag_std)
+    elif color_jitter_strength:
+        img = color_jitter(img, rng, color_jitter_strength)
     arr = normalize(np.asarray(img, np.float32))
     arr = random_erasing(arr, rng, prob=reprob)
     return arr

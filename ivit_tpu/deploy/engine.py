@@ -22,6 +22,8 @@ evaluate_latency.py:55-88) with an XLA/Pallas integer graph:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,8 +33,15 @@ from ..kernels import (
     fused_requant_shiftgelu,
     fused_requant_shiftmax,
 )
+from ..kernels.linear_gelu_fused import fused_linear_shiftgelu
 from ..kernels.attention_fused import fused_int8_attention
-from ..ops import DEPLOY, int_layernorm, shiftgelu, shiftmax
+from ..ops import (
+    DEPLOY,
+    int_layernorm,
+    shiftgelu,
+    shiftmax,
+    shiftmax_int_deploy,
+)
 
 _INT8 = (-128, 127)
 _INT16 = (-(2**15), 2**15 - 1)
@@ -141,15 +150,20 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                     pallas_ops: tuple = DEFAULT_PALLAS_OPS,
                     strict_dyadic: bool = False,
                     attn_v_mode: str = "f32",
-                    sm_int16: bool = False):
+                    sm_int16: bool = False,
+                    sm_split: bool = False,
+                    sm_int_lanes: bool = False):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
     ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
     as the oracle in tests); ``None`` auto-enables Pallas off-CPU.
-    ``pallas_ops`` selects which chains use the fused kernels — measured
-    on v5e, the Shiftmax kernel wins clearly while XLA's own fusions win
-    for the LayerNorm/GELU chains, so only softmax is on by default. Ops
-    whose shapes don't meet Pallas tiling fall back automatically.
+    ``pallas_ops`` opts chains into the fused Pallas kernels — measured
+    on v5e at batch 128, XLA's own fusions win everywhere, so the
+    default is NO Pallas ops (``DEFAULT_PALLAS_OPS = ()``); the fused
+    attention kernel wins at batch 1 (``pallas_ops=("attention",)``).
+    The standalone softmax kernel emits the base-256 (hi, lo) split and
+    therefore only engages with ``attn_v_mode="exact"``. Ops whose
+    shapes don't meet Pallas tiling fall back automatically.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
@@ -157,6 +171,15 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # integer-ISA-exact requant epilogues; Pallas kernels use the
         # f32 epilogue internally, so strict mode runs pure-XLA.
         use_pallas = False
+    if "softmax" in pallas_ops and attn_v_mode != "exact":
+        import warnings
+
+        warnings.warn(
+            'pallas_ops=("softmax",) produces the base-256 split for '
+            'the exact @V path and is a no-op with attn_v_mode="f32"; '
+            'pass attn_v_mode="exact" to engage it',
+            stacklevel=2,
+        )
     rq = _requant_strict if strict_dyadic else _requant
     # "f32": HIGHEST-precision f32 matmul for softmax@V — bit-identical
     # to the QAT simulator's matmul (which is also f32 HIGHEST) and
@@ -167,6 +190,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     p_attn = use_pallas and "attention" in pallas_ops
     p_softmax = use_pallas and "softmax" in pallas_ops and not p_attn
     p_gelu = use_pallas and "gelu" in pallas_ops
+    p_lingelu = use_pallas and "linear_gelu" in pallas_ops
     p_ln = use_pallas and "layernorm" in pallas_ops
     cfg = artifact["config"]
     D, H = cfg["embed_dim"], cfg["num_heads"]
@@ -282,11 +306,24 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             a8 = _mat(
                 rq(attn, s_attn / ssm, *_INT8, jnp.float32), jnp.int8
             ).astype(jnp.float32)
-            # split_normalize=True (recompute exp instead of
-            # materializing it) measured slower here: the duplicate
-            # shift-exp VPU work costs more than the 155 MB f32
-            # materialization it avoids.
-            sm, _ = shiftmax(a8, ssm, out_bits=16, interp=DEPLOY)
+            # int32-lane softmax when the frozen scale admits it
+            # (bit-identical below the f32-exactness bound — see
+            # ops/shiftmax.py). Measured ~3% slower than the f32 chain
+            # on v5e at batch 128 (VPU int and f32 ops run at the same
+            # rate there), so opt-in. 500 vs the true 512 bound leaves
+            # margin for host/device floor disagreement in the gate.
+            h_p = math.floor(1.0 / float(blk["s_attn_sm_in"]))
+            if sm_int_lanes and not sm_split and 1 <= h_p <= 500:
+                sm, _ = shiftmax_int_deploy(a8, ssm, out_bits=16)
+            else:
+                # sm_split recomputes the exp instead of materializing
+                # it (value-identical; see ops/shiftmax.py
+                # split_normalize) — measured slightly slower on v5e at
+                # batch 128, kept selectable.
+                sm, _ = shiftmax(
+                    a8, ssm, out_bits=16, interp=DEPLOY,
+                    split_normalize=sm_split,
+                )
             if sm_int16:
                 # materialize the softmax tensor as int16 (exact:
                 # ≤ 32767) — halves its HBM traffic if XLA keeps the
@@ -377,6 +414,45 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             y = y.astype(jnp.int8)
 
         fc1 = blk["fc1"]
+        if p_lingelu:
+            # fc1 matmul with the whole requant->ShiftGELU->requant
+            # chain as its epilogue: the (B*N, 4C) int32 accumulator and
+            # the int8 GELU input both live and die in VMEM. Kernel
+            # parameters are compile-time host floats (non-strict like
+            # the other Pallas paths).
+            Chh = jnp.asarray(fc1["w"]).shape[1]
+            h_sg_in = float(blk["s_gelu_in"])
+            h_s_g = np.float32(h_sg_in * np.float32(1.0 / 2.0**7))
+            g8 = fused_linear_shiftgelu(
+                y.reshape(-1, C),
+                jnp.asarray(fc1["w"]),
+                jnp.asarray(fc1["b"]),
+                jnp.asarray(
+                    (fc1["out_scale"] / np.float32(h_sg_in)).astype(
+                        np.float32
+                    )
+                ),
+                s_in=h_sg_in,
+                r2=float(h_s_g / float(blk["s_gelu_out"])),
+                out_bits=8,
+                interpret=interpret,
+            ).reshape(B, N, Chh)
+            fc2 = blk["fc2"]
+            acc = _linear(g8, fc2)
+            smo = _scale(blk["s_mlp_out"])
+            m = rq(
+                acc, _scale(fc2["out_scale"]) / smo, *_INT16, jnp.float32
+            )
+            sr2 = _scale(blk["s_res2"])
+            x = _mat(
+                jnp.clip(
+                    jnp.round(m * (smo / sr2)) + jnp.round(x * (s_x / sr2)),
+                    *_INT16,
+                ),
+                jnp.int16,
+            ).astype(jnp.float32)
+            return x, sr2
+
         acc = _linear(y, fc1)
         sg_in = _scale(blk["s_gelu_in"])
         sg_out = _scale(blk["s_gelu_out"])

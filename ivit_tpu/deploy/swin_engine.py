@@ -11,13 +11,15 @@ the SW-MSA −100 mask likewise folds to a precomputed integer addend.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..models.swin import relative_position_index, sw_attn_mask, window_partition, window_reverse
-from ..ops import DEPLOY, shiftgelu, shiftmax
+from ..ops import DEPLOY, shiftgelu, shiftmax, shiftmax_int_deploy
 from .convert import _act_scale, _freeze_layernorm, _freeze_linear
 from .engine import (
     _INT8,
@@ -171,7 +173,8 @@ def freeze_swin(model, variables) -> dict:
 
 
 def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
-                     pallas_interpret: bool = False):
+                     pallas_interpret: bool = False,
+                     sm_int_lanes: bool = False):
     """Jittable int8 Swin inference: float NHWC images → logits."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
@@ -217,8 +220,15 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             a8 = (
                 a8.reshape(Bw // nW, nW, H, N, N) + m[None, :, None]
             ).reshape(Bw, H, N, N)
-
-        sm, _ = shiftmax(a8, sb, out_bits=8, interp=DEPLOY)
+            sm, _ = shiftmax(a8, sb, out_bits=8, interp=DEPLOY)
+        else:
+            # int32-lane softmax for unmasked windows when the frozen
+            # scale admits it (bit-identical; see ops/shiftmax.py)
+            h_p = math.floor(1.0 / float(blk["s_bias"]))
+            if sm_int_lanes and 1 <= h_p <= 500:
+                sm, _ = shiftmax_int_deploy(a8, sb, out_bits=8)
+            else:
+                sm, _ = shiftmax(a8, sb, out_bits=8, interp=DEPLOY)
         sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])
         s_sm = 1.0 / 2.0**7
 

@@ -10,6 +10,8 @@ merging, and token-mean pooling. Window partitioning is a static reshape
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Sequence
 
 import jax
@@ -45,9 +47,11 @@ def window_reverse(x: jax.Array, ws: int, H: int, W: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
+@functools.lru_cache(maxsize=None)
 def relative_position_index(ws: int) -> np.ndarray:
     """Static (ws², ws²) index into the (2ws−1)² bias table
-    (swin_quant.py:79-92 semantics, computed host-side with numpy)."""
+    (swin_quant.py:79-92 semantics, computed host-side with numpy).
+    Cached: recomputed per trace otherwise (round-1 review nit)."""
     coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
@@ -55,9 +59,10 @@ def relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
 def sw_attn_mask(H: int, W: int, ws: int, shift: int) -> Optional[np.ndarray]:
     """Static SW-MSA mask (nW, ws², ws²) of {0, −100}
-    (swin_quant.py:225-249 semantics)."""
+    (swin_quant.py:225-249 semantics). Cached per geometry."""
     if shift == 0:
         return None
     img = np.zeros((1, H, W, 1), np.float32)

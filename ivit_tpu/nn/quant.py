@@ -154,21 +154,6 @@ class QuantLinear(nn.Module):
 SIM_FAST_MATMUL = False
 
 
-def _int_precision(*bits):
-    """Cheapest TPU matmul precision that is exact for integer operands
-    of the given bitwidths: ≤8-bit values are exact in one bf16 pass
-    (DEFAULT); ≤16-bit need the 3-pass split (HIGH); wider fall back to
-    HIGHEST. Accumulation is f32 in all cases, identical across tiers."""
-    if not SIM_FAST_MATMUL:
-        return jax.lax.Precision.HIGHEST
-    m = max(bits)
-    if m <= 8:
-        return jax.lax.Precision.DEFAULT
-    if m <= 16:
-        return jax.lax.Precision.HIGH
-    return jax.lax.Precision.HIGHEST
-
-
 # ---------------------------------------------------------------------------
 # Integer-exact simulated matmuls.
 #

@@ -1,7 +1,7 @@
 from .interp import SIM, DEPLOY, Interp
 from .requant import requantize
 from .shiftexp import int_exp_shift
-from .shiftmax import shiftmax
+from .shiftmax import shiftmax, shiftmax_int_deploy
 from .shiftgelu import shiftgelu
 from .intnorm import int_layernorm
 
@@ -12,6 +12,7 @@ __all__ = [
     "requantize",
     "int_exp_shift",
     "shiftmax",
+    "shiftmax_int_deploy",
     "shiftgelu",
     "int_layernorm",
 ]

@@ -51,6 +51,7 @@ def shiftmax(
         q = q + mask
     if q_max is None:
         q_max = jnp.max(q, axis=-1, keepdims=True)
+    q_in = q
     q = q - q_max
 
     exp_int, _ = int_exp_shift(q, scale, n, interp)
@@ -60,19 +61,77 @@ def shiftmax(
     factor = interp.floor(_I32_MAX / exp_sum)
 
     if split_normalize:
-        # Deploy perf knob, value-identical: evaluate the shift-exp a
-        # second time for the normalize step, seeded from an opaque copy
-        # of the scale (optimization_barrier) so XLA cannot CSE it with
-        # the sum's copy — a reshaped view gets canonicalized away and
-        # re-merged. Each evaluation then fuses into its consumer (the
-        # row-sum reduce / the @V matmul) and the wide exp tensor is
-        # never materialized to HBM. Safe because the row sum above is
-        # order-independent (exact hi/lo split): the two evaluations
+        # Deploy perf knob, value-identical: evaluate the max-subtract
+        # and shift-exp a second time for the normalize step, seeded
+        # from opaque copies of the (tiny) row max and scale
+        # (optimization_barrier) so XLA cannot CSE the wide chain with
+        # the sum's copy and materialize it. Each evaluation then fuses
+        # into its consumer (the row-sum reduce / the @V matmul) and no
+        # wide f32 tensor reaches HBM. Safe because the row sum above
+        # is order-independent (exact hi/lo split): the duplicated ops
         # are elementwise with bit-equal results in any fusion context.
+        q2 = q_in - jax.lax.optimization_barrier(q_max)
         scale2 = jax.lax.optimization_barrier(jnp.asarray(scale, jnp.float32))
-        exp_int, _ = int_exp_shift(q, scale2, n, interp)
+        exp_int, _ = int_exp_shift(q2, scale2, n, interp)
 
     q_out = interp.floor(exp_int * factor / 2.0 ** (32 - out_bits))
+    scale_out = jnp.asarray(1.0 / 2.0 ** (out_bits - 1), jnp.float32)
+    return q_out, scale_out
+
+
+def shiftmax_int_deploy(
+    q: jax.Array,
+    scale: jax.Array,
+    out_bits: int = 8,
+    n: int = 15,
+):
+    """Int32-lane deploy twin of :func:`shiftmax` — **bit-identical**
+    to the f32-carrier spec whenever ``|x0| = |⌊−1/scale⌋| ≤ 512``.
+
+    Why it is exact: with n = 15 and p = |x0| ≤ 2^9, every quantity in
+    the f32 spec stays below 2^24 (exp ≤ p·2^n ≤ 2^24, products at the
+    boundary are exactly representable), so the f32 arithmetic is
+    integer-exact and an int32 evaluation reproduces it bit-for-bit.
+    The row sum uses the same hi/lo-at-2^16 split and single f32
+    recombine as :func:`_exact_sum_lastdim`, so the one rounding that
+    exists is identical.
+
+    Why it is faster: the VPU chain is shifts/adds instead of f32
+    floors, the ⌊q/x0⌋ division becomes one multiply-high by a
+    runtime-computed magic constant (M = ⌈2^26/p⌉; exact for
+    u ≤ n·p since u·(pM − 2^26) < u·p ≤ n·p² ≤ 2^26 ⇒ the added
+    fraction is < n·p/2^26 < 1/p, below the distance to the next
+    integer), and ``2^(n−1−qt)`` is a native variable shift
+    (``v << (n − qt) >> 1`` also covers the qt = n right-shift case).
+
+    No mask support (Swin's additive mask is non-integral); callers
+    gate on the host-side scale with margin (p ≤ 500).
+    """
+    qi = q.astype(jnp.int32)
+    q_max = jnp.max(qi, axis=-1, keepdims=True)
+    u0 = qi - q_max  # <= 0
+
+    x0f = jnp.floor(-1.0 / jnp.asarray(scale, jnp.float32))
+    x0i = x0f.astype(jnp.int32)  # negative
+    p = -x0i
+    m = (jnp.int32(1 << 26) + p - 1) // p  # scalar ceil(2^26/p)
+
+    qln = u0 + (u0 >> 1) - (u0 >> 4)
+    qln = jnp.maximum(qln, jnp.int32(n) * x0i)
+    u = -qln  # in [0, n*p]
+    qt = (u * m) >> 26
+    r = qln - x0i * qt
+    e = ((r - 2 * x0i) << (jnp.int32(n) - qt)) >> 1  # in [0, p*2^n]
+
+    # exact row sum with the spec's single deterministic rounding
+    hi_sum = jnp.sum(e >> 16, axis=-1, keepdims=True).astype(jnp.float32)
+    lo_sum = jnp.sum(e & 0xFFFF, axis=-1, keepdims=True).astype(jnp.float32)
+    exp_sum = jnp.clip(hi_sum * (2.0**16) + lo_sum, 1.0, _I32_MAX)
+
+    factor = jnp.floor(_I32_MAX / exp_sum)
+    q_out = jnp.floor(
+        e.astype(jnp.float32) * factor / 2.0 ** (32 - out_bits)
+    )
     scale_out = jnp.asarray(1.0 / 2.0 ** (out_bits - 1), jnp.float32)
     return q_out, scale_out
 

@@ -224,6 +224,20 @@ def main(argv=None):
     mesh = make_mesh(model=args.mesh_model)
     state = jax.device_put(state, param_shardings(state, mesh))
     dsh = data_sharding(mesh)
+    n_proc = jax.process_count()
+
+    def put_global(x, sh=dsh):
+        """Host batch → global device array on the mesh.
+
+        Single-process: a plain device_put. Multi-host: each process
+        holds only its shard, and ``jax.device_put`` of host-local
+        numpy would NOT assemble a global array —
+        ``make_array_from_process_local_data`` does (the round-1
+        review's §5.8 gap; proven by tests/test_multihost.py)."""
+        x = np.asarray(x)
+        if n_proc > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
 
     train_step = jax.jit(
         make_train_step(model, ema_decay=ema_decay, grad_clip=args.clip_grad),
@@ -258,8 +272,8 @@ def main(argv=None):
                 labels = np.concatenate([labels, labels[:pad]])
             m = eval_step(
                 variables,
-                jax.device_put(images, dsh),
-                jax.device_put(labels, dsh),
+                put_global(images),
+                put_global(labels),
                 jnp.float32(n),
             )
             acc1.update(float(m["acc1"]), n)
@@ -284,7 +298,7 @@ def main(argv=None):
         for i, (images, labels) in enumerate(train_loader):
             if i >= args.calib_batches:
                 break
-            _, upd = calib_fwd(variables, jax.device_put(images, dsh))
+            _, upd = calib_fwd(variables, put_global(images))
             variables = {"params": state.params, **upd}
         state = state.replace(quant_stats=variables["quant_stats"])
         logging.info("calibrated EMA ranges over %d batches", args.calib_batches)
@@ -310,8 +324,8 @@ def main(argv=None):
             if args.profile_steps and epoch == 0 and i == 10 + args.profile_steps:
                 jax.profiler.stop_trace()
             step_rng, k_mix, k_drop = jax.random.split(step_rng, 3)
-            images = jax.device_put(images, dsh)
-            labels = jax.device_put(jnp.asarray(labels), dsh)
+            images = put_global(images)
+            labels = put_global(labels)
             if use_mixup:
                 images, targets = mix_fn(k_mix, images, labels)
             else:

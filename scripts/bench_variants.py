@@ -25,6 +25,10 @@ VARIANTS = {
     "exact_sm16": {"attn_v_mode": "exact", "sm_int16": True},
     "pallas_sm": {"pallas_ops": ("softmax",), "attn_v_mode": "exact"},
     "pallas_attn": {"pallas_ops": ("attention",)},
+    "smsplit": {"sm_split": True},
+    "lingelu": {"pallas_ops": ("linear_gelu",)},
+    "intsm": {"sm_int_lanes": True},
+    "smsplit16": {"sm_split": True, "sm_int16": True},
 }
 
 

@@ -30,7 +30,14 @@ def capture():
     )
     artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
     images = jax.random.normal(rng, (128, 224, 224, 3))
-    fn = jax.jit(build_vit_infer(artifact))
+    import os as _os
+
+    kw = {}
+    if _os.environ.get("IVIT_PROFILE_VARIANT"):
+        from scripts.bench_variants import VARIANTS
+
+        kw = VARIANTS[_os.environ["IVIT_PROFILE_VARIANT"]]
+    fn = jax.jit(build_vit_infer(artifact, **kw))
     float(fn(images)[0, 0])
     float(fn(images)[0, 0])
     with jax.profiler.trace(LOGDIR):

@@ -102,3 +102,33 @@ class TestLayerNormKernel:
             bits=8, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
+
+
+class TestLinearGeluKernel:
+    def test_bit_exact_vs_ops(self):
+        """fc1 matmul + requant→ShiftGELU→requant epilogue vs the XLA
+        composition (int8 dot → requantize → shiftgelu → requantize)."""
+        from ivit_tpu.kernels.linear_gelu_fused import fused_linear_shiftgelu
+
+        M, K, C = 64, 48, 128
+        rng = np.random.default_rng(0)
+        x = rng.integers(-128, 128, (M, K)).astype(np.int8)
+        w = rng.integers(-128, 128, (K, C)).astype(np.int8)
+        b = rng.integers(-(2**15), 2**15, (C,)).astype(np.int32)
+        r1 = (rng.uniform(0.5, 2.0, (C,)) * 1e-4).astype(np.float32)
+        s_in, r2 = 0.031, 0.52
+
+        out = fused_linear_shiftgelu(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+            jnp.asarray(r1), s_in=s_in, r2=r2, out_bits=8, interpret=True,
+        )
+
+        acc = (
+            x.astype(np.int32) @ w.astype(np.int32) + b
+        ).astype(np.float32)
+        gq = _requant_ref(acc, r1, -128, 127)
+        g, _ = shiftgelu(
+            jnp.asarray(gq), jnp.float32(s_in), out_bits=8, interp=DEPLOY
+        )
+        ref = _requant_ref(np.asarray(g), r2, -128, 127)
+        np.testing.assert_array_equal(np.asarray(out, np.float32), ref)

@@ -249,3 +249,48 @@ class TestIntLayerNorm:
         a, _ = int_layernorm(q, gamma, beta, DEPLOY)
         b, _ = int_layernorm(q, gamma, beta, SIM)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestShiftmaxIntDeploy:
+    def test_bit_identical_to_f32_spec(self):
+        """Int32-lane softmax == f32-carrier spec, bit for bit, across
+        the admissible scale range (|x0| <= 512) incl. boundary-ish
+        scales and degenerate uniform rows."""
+        from ivit_tpu.ops import shiftmax_int_deploy
+
+        rng = np.random.default_rng(0)
+        q = rng.integers(-128, 128, (16, 197)).astype(np.float32)
+        q[0] = 0.0          # uniform row
+        q[1] = -128.0       # all-min row
+        q[2, :100] = 127.0  # saturated block
+        for scale in (1.0 / 512.0 + 1e-9, 0.004, 0.01, 0.03,
+                      0.123456, 0.5, 0.999):
+            qm = q - q.max(-1, keepdims=True)
+            ref, s_ref = shiftmax(
+                jnp.asarray(qm), jnp.float32(scale), out_bits=16,
+                interp=DEPLOY,
+            )
+            out, s_out = shiftmax_int_deploy(
+                jnp.asarray(q), jnp.float32(scale), out_bits=16
+            )
+            assert float(s_ref) == float(s_out)
+            np.testing.assert_array_equal(
+                np.asarray(out), np.asarray(ref),
+                err_msg=f"scale={scale}",
+            )
+
+    def test_bit_identical_8bit(self):
+        from ivit_tpu.ops import shiftmax_int_deploy
+
+        rng = np.random.default_rng(1)
+        q = rng.integers(-128, 128, (8, 49)).astype(np.float32)
+        for scale in (0.01, 0.08, 0.31):
+            qm = q - q.max(-1, keepdims=True)
+            ref, _ = shiftmax(
+                jnp.asarray(qm), jnp.float32(scale), out_bits=8,
+                interp=DEPLOY,
+            )
+            out, _ = shiftmax_int_deploy(
+                jnp.asarray(q), jnp.float32(scale), out_bits=8
+            )
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
