@@ -201,3 +201,133 @@ class TestPosEmbedResize:
         assert not np.allclose(
             merged["pos_embed"], init_params["pos_embed"]
         )
+
+
+class TestImporterGolden:
+    """Golden-vector importer fidelity (round-1 VERDICT #4b): the
+    imported FP32 model must reproduce the forward activations of an
+    independent plain-torch DeiT implementation (standard timm/DeiT
+    semantics: conv patch embed, pre-norm blocks, erf-GELU, LN eps
+    1e-6) running the same reference-format state dict."""
+
+    def _torch_forward(self, sd, x, D, H, p):
+        import torch
+        import torch.nn.functional as F
+
+        t = {k: torch.from_numpy(v) for k, v in sd.items()}
+        B = x.shape[0]
+        xt = torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+        )
+        z = F.conv2d(
+            xt, t["patch_embed.proj.weight"], t["patch_embed.proj.bias"],
+            stride=p,
+        )
+        z = z.flatten(2).transpose(1, 2)
+        z = torch.cat([t["cls_token"].expand(B, -1, -1), z], 1)
+        z = z + t["pos_embed"]
+
+        def lnf(v, w, b):
+            return F.layer_norm(v, (v.shape[-1],), w, b, eps=1e-6)
+
+        depth = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+        )
+        hd = D // H
+        for i in range(depth):
+            pre = f"blocks.{i}"
+            y = lnf(z, t[f"{pre}.norm1.weight"], t[f"{pre}.norm1.bias"])
+            qkv = y @ t[f"{pre}.attn.qkv.weight"].T + t[f"{pre}.attn.qkv.bias"]
+            qkv = qkv.reshape(B, -1, 3, H, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, -1)
+            ctx = (attn @ v).transpose(1, 2).reshape(B, -1, D)
+            z = z + ctx @ t[f"{pre}.attn.proj.weight"].T + t[f"{pre}.attn.proj.bias"]
+            y = lnf(z, t[f"{pre}.norm2.weight"], t[f"{pre}.norm2.bias"])
+            y = F.gelu(y @ t[f"{pre}.mlp.fc1.weight"].T + t[f"{pre}.mlp.fc1.bias"])
+            z = z + y @ t[f"{pre}.mlp.fc2.weight"].T + t[f"{pre}.mlp.fc2.bias"]
+        z = lnf(z, t["norm.weight"], t["norm.bias"])[:, 0]
+        return (z @ t["head.weight"].T + t["head.bias"]).numpy()
+
+    def test_float_model_matches_torch_golden(self):
+        from ivit_tpu.models.vit_float import (
+            FloatVisionTransformer,
+            quant_params_to_float,
+        )
+
+        D, H, p, img, depth, classes = 32, 4, 8, 16, 2, 8
+        sd = fake_torch_sd(D=D, depth=depth, heads=H, p=p, img=img,
+                           classes=classes)
+        # scale weights down so activations stay in a well-conditioned
+        # range for a tight tolerance
+        sd = {k: (v * 0.2).astype(np.float32) for k, v in sd.items()}
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, img, img, 3)).astype(np.float32)
+
+        golden = self._torch_forward(sd, x, D, H, p)
+
+        params = torch_vit_to_params(sd)
+        model = FloatVisionTransformer(
+            img_size=img, patch_size=p, num_classes=classes,
+            embed_dim=D, depth=depth, num_heads=H,
+        )
+        init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        merged = merge_params(
+            init["params"], quant_params_to_float(params)
+        )
+        ours = np.asarray(model.apply({"params": merged}, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, golden, rtol=2e-4, atol=2e-4)
+
+    def test_npz_and_torch_importers_agree(self):
+        """An npz checkpoint holding the same weights as a torch state
+        dict must import to the identical param tree — the npz mapping
+        then inherits the torch golden above."""
+        D, H, p, img, depth, classes = 32, 4, 8, 16, 2, 8
+        sd = fake_torch_sd(D=D, depth=depth, heads=H, p=p, img=img,
+                           classes=classes)
+        pt = torch_vit_to_params(sd)
+
+        hd = D // H
+        g = {
+            "cls": sd["cls_token"],
+            "Transformer/posembed_input/pos_embedding": sd["pos_embed"],
+            # torch conv (D, C, ph, pw) -> flax HWIO (ph, pw, C, D)
+            "embedding/kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "embedding/bias": sd["patch_embed.proj.bias"],
+            "Transformer/encoder_norm/scale": sd["norm.weight"],
+            "Transformer/encoder_norm/bias": sd["norm.bias"],
+            "head/kernel": sd["head.weight"].T,
+            "head/bias": sd["head.bias"],
+        }
+        for i in range(depth):
+            src = f"Transformer/encoderblock_{i}"
+            att = f"{src}/MultiHeadDotProductAttention_1"
+            w = sd[f"blocks.{i}.attn.qkv.weight"]  # (3D, D)
+            b = sd[f"blocks.{i}.attn.qkv.bias"]
+            g[f"{att}/query/kernel"] = w[:D].T.reshape(D, H, hd)
+            g[f"{att}/key/kernel"] = w[D:2 * D].T.reshape(D, H, hd)
+            g[f"{att}/value/kernel"] = w[2 * D:].T.reshape(D, H, hd)
+            g[f"{att}/query/bias"] = b[:D].reshape(H, hd)
+            g[f"{att}/key/bias"] = b[D:2 * D].reshape(H, hd)
+            g[f"{att}/value/bias"] = b[2 * D:].reshape(H, hd)
+            g[f"{att}/out/kernel"] = (
+                sd[f"blocks.{i}.attn.proj.weight"].T.reshape(H, hd, D)
+            )
+            g[f"{att}/out/bias"] = sd[f"blocks.{i}.attn.proj.bias"]
+            g[f"{src}/LayerNorm_0/scale"] = sd[f"blocks.{i}.norm1.weight"]
+            g[f"{src}/LayerNorm_0/bias"] = sd[f"blocks.{i}.norm1.bias"]
+            g[f"{src}/LayerNorm_2/scale"] = sd[f"blocks.{i}.norm2.weight"]
+            g[f"{src}/LayerNorm_2/bias"] = sd[f"blocks.{i}.norm2.bias"]
+            g[f"{src}/MlpBlock_3/Dense_0/kernel"] = sd[f"blocks.{i}.mlp.fc1.weight"].T
+            g[f"{src}/MlpBlock_3/Dense_0/bias"] = sd[f"blocks.{i}.mlp.fc1.bias"]
+            g[f"{src}/MlpBlock_3/Dense_1/kernel"] = sd[f"blocks.{i}.mlp.fc2.weight"].T
+            g[f"{src}/MlpBlock_3/Dense_1/bias"] = sd[f"blocks.{i}.mlp.fc2.bias"]
+
+        pn = npz_vit_to_params(g, depth)
+        flat_t = jax.tree_util.tree_leaves_with_path(pt)
+        flat_n = jax.tree_util.tree_flatten_with_path(pn)[0]
+        assert len(flat_t) == len(flat_n)
+        nd = {jax.tree_util.keystr(k): v for k, v in flat_n}
+        for k, v in flat_t:
+            key = jax.tree_util.keystr(k)
+            np.testing.assert_array_equal(nd[key], v, err_msg=key)
