@@ -35,6 +35,7 @@ from ..kernels import (
 )
 from ..kernels.linear_gelu_fused import fused_linear_shiftgelu
 from ..kernels.attention_fused import fused_int8_attention
+from ..kernels.attention_fused_v2 import fused_int8_attention_v2
 from ..ops import (
     DEPLOY,
     int_layernorm,
@@ -188,6 +189,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     # the simulator's fidelity above 2^24), ~20% slower.
     assert attn_v_mode in ("f32", "exact"), attn_v_mode
     p_attn = use_pallas and "attention" in pallas_ops
+    p_attn2 = use_pallas and "attention2" in pallas_ops and not p_attn
     p_softmax = use_pallas and "softmax" in pallas_ops and not p_attn
     p_gelu = use_pallas and "gelu" in pallas_ops
     p_lingelu = use_pallas and "linear_gelu" in pallas_ops
@@ -266,6 +268,46 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             )
             return _attn_tail(x, s_x, blk, ctx)
 
+        attn2_ok = (
+            N * math.floor(1.0 / float(blk["s_attn_sm_in"])) * 2.0**15
+            < 2.0**31
+        )
+        if p_attn2 and not attn2_ok:
+            import warnings
+
+            warnings.warn(
+                "attention2 scale gate failed for a block "
+                f"(s_sm_in={float(blk['s_attn_sm_in']):.3g}); "
+                "falling back to the XLA attention path",
+                stacklevel=2,
+            )
+        if p_attn2 and attn2_ok:
+            # batched fused attention (kernels/attention_fused_v2): all
+            # heads per grid cell, one VPU Shiftmax phase, f32 HIGH @V.
+            # Kernel ratios are compile-time host floats (non-strict,
+            # like the other Pallas paths). Gated per block on the
+            # kernel's int32-row-sum bound; falls through to the XLA
+            # path otherwise.
+            h_sa1 = float(blk["s_attn_qact1"])
+            h_sattn = np.float32(h_sa1 * h_sa1) * qk_scale
+            h_ssm = float(blk["s_attn_sm_in"])
+            h_sao = float(blk["s_attn_out"])
+            s_ctx = np.float32(s_sm * h_sa1)
+            Mpad = -(-N // 32) * 32
+            qp = _pad_axis(q.transpose(0, 2, 1, 3), 2, Mpad)
+            kp = _pad_axis(k.transpose(0, 2, 3, 1), 3, Npad)
+            vp = _pad_axis(v.transpose(0, 2, 1, 3), 2, Npad)
+            ctx = fused_int8_attention_v2(
+                qp, kp, vp,
+                r1=float(h_sattn / h_ssm),
+                scale=h_ssm,
+                r_out=float(s_ctx / h_sao),
+                n_valid=N,
+                out_bits=16,
+                interpret=interpret,
+            )[:, :, :N]  # (B, H, N, hd) int8 — consumed layout-free
+            return _attn_tail(x, s_x, blk, ctx)
+
         if p_softmax and attn_v_mode == "exact":
             # pad the key/value token axis once; padded keys produce
             # zero-probability columns inside the softmax kernel.
@@ -319,10 +361,12 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 # sm_split recomputes the exp instead of materializing
                 # it (value-identical; see ops/shiftmax.py
                 # split_normalize) — measured slightly slower on v5e at
-                # batch 128, kept selectable.
+                # batch 128, kept selectable. static_p enables the
+                # value-identical guard elisions + int32 row sum.
                 sm, _ = shiftmax(
                     a8, ssm, out_bits=16, interp=DEPLOY,
                     split_normalize=sm_split,
+                    static_p=math.ceil(1.0 / float(blk["s_attn_sm_in"])),
                 )
             if sm_int16:
                 # materialize the softmax tensor as int16 (exact:
@@ -480,7 +524,12 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 rq(acc, _scale(fc1["out_scale"]) / sg_in, *_INT8, jnp.float32),
                 jnp.int8,
             ).astype(jnp.float32)
-            g, _ = shiftgelu(gq, sg_in, out_bits=8, interp=DEPLOY)
+            g, _ = shiftgelu(
+                gq, sg_in, out_bits=8, interp=DEPLOY,
+                static_p=math.ceil(
+                    1.0 / (1.702 * float(blk["s_gelu_in"]))
+                ),
+            )
             g8 = rq(g, s_g / sg_out, *_INT8, jnp.int8)
 
         fc2 = blk["fc2"]

@@ -220,7 +220,13 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             a8 = (
                 a8.reshape(Bw // nW, nW, H, N, N) + m[None, :, None]
             ).reshape(Bw, H, N, N)
-            sm, _ = shiftmax(a8, sb, out_bits=8, interp=DEPLOY)
+            # mask already added: the int8 domain bound is broken, so
+            # only the p-dependent elisions engage (in_lo=-inf)
+            sm, _ = shiftmax(
+                a8, sb, out_bits=8, interp=DEPLOY,
+                static_p=math.ceil(1.0 / float(blk["s_bias"])),
+                in_lo=-math.inf,
+            )
         else:
             # int32-lane softmax for unmasked windows when the frozen
             # scale admits it (bit-identical; see ops/shiftmax.py)
@@ -228,7 +234,10 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             if sm_int_lanes and 1 <= h_p <= 500:
                 sm, _ = shiftmax_int_deploy(a8, sb, out_bits=8)
             else:
-                sm, _ = shiftmax(a8, sb, out_bits=8, interp=DEPLOY)
+                sm, _ = shiftmax(
+                    a8, sb, out_bits=8, interp=DEPLOY,
+                    static_p=math.ceil(1.0 / float(blk["s_bias"])),
+                )
         sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])
         s_sm = 1.0 / 2.0**7
 
@@ -297,7 +306,10 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             ),
             jnp.int8,
         ).astype(jnp.float32)
-        gl, _ = shiftgelu(gq, sg_in, out_bits=8, interp=DEPLOY)
+        gl, _ = shiftgelu(
+            gq, sg_in, out_bits=8, interp=DEPLOY,
+            static_p=math.ceil(1.0 / (1.702 * float(blk["s_gelu_in"]))),
+        )
         s_g = sg_in * np.float32(1.0 / 2.0**7)
         g8 = _requant(gl, s_g / sg_out, *_INT8, jnp.int8)
 

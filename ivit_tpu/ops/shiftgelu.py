@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .interp import DEPLOY, Interp
-from .shiftexp import int_exp_shift
+from .shiftexp import exp_elisions, int_exp_shift
 
 _I32_MAX = 2.0**31 - 1.0
 
@@ -26,17 +26,34 @@ def shiftgelu(
     out_bits: int = 8,
     n: int = 23,
     interp: Interp = DEPLOY,
+    static_p: int | None = None,
 ):
     """Integer GELU. Returns ``(q_out, scale_out)``,
-    ``scale_out = scale / 2^(out_bits−1)``."""
+    ``scale_out = scale / 2^(out_bits−1)``.
+
+    ``static_p``: deploy-only hint — the host-known ``|⌊−1/(1.702·s)⌋|``
+    for the *frozen* scale. Enables value-identical guard elisions
+    (ops/shiftexp.exp_elisions) on the hot per-element chain; callers
+    must guarantee the input is int8-valued (q ∈ [−128, 127], so
+    q − max ≥ −255). None (QAT sim / dynamic scales) keeps every guard.
+    """
     sig_scale = jax.lax.stop_gradient(scale) * 1.702
 
     q_max = jnp.max(q, axis=-1, keepdims=True)
     q_shifted = q - q_max
 
-    exp_int, _ = int_exp_shift(q_shifted, sig_scale, n, interp)      # e^(x-max)
-    exp_max, _ = int_exp_shift(-q_max, sig_scale, n, interp)          # e^(-max)
-    exp_sum = interp.clip(exp_int + exp_max, 1.0, _I32_MAX)
+    el_clamp, el_clip = exp_elisions(static_p, n, in_lo=-255.0)
+    exp_int, _ = int_exp_shift(                                # e^(x-max)
+        q_shifted, sig_scale, n, interp,
+        elide_clamp=el_clamp, elide_clip=el_clip,
+    )
+    exp_max, _ = int_exp_shift(-q_max, sig_scale, n, interp)   # e^(-max)
+    # sum clip: e1, e2 ≥ 1 structurally (r − 2x0 ≥ p + 1) and
+    # e1 + e2 ≤ 2·p·2^n — dead when (p+2)·2^(n+1) fits int32.
+    if static_p is not None and (static_p + 2) * 2.0 ** (n + 1) <= _I32_MAX:
+        exp_sum = exp_int + exp_max
+    else:
+        exp_sum = interp.clip(exp_int + exp_max, 1.0, _I32_MAX)
 
     factor = interp.floor(_I32_MAX / exp_sum)
     sigmoid_int = interp.floor(exp_int * factor / 2.0 ** (32 - out_bits))

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .interp import DEPLOY, Interp
-from .shiftexp import int_exp_shift
+from .shiftexp import exp_elisions, int_exp_shift
 
 _I32_MAX = 2.0**31 - 1.0
 
@@ -30,6 +30,8 @@ def shiftmax(
     mask: jax.Array | None = None,
     q_max: jax.Array | None = None,
     split_normalize: bool = False,
+    static_p: int | None = None,
+    in_lo: float = -255.0,
 ):
     """Integer softmax over the last axis.
 
@@ -44,18 +46,42 @@ def shiftmax(
     tensor is ever materialized. Value-identical to the internal max.
     Not valid together with ``mask``.
 
+    ``static_p``: deploy-only hint — host-known ``|⌊−1/scale⌋|`` of the
+    frozen scale. Enables value-identical guard elisions on the hot
+    chain (ops/shiftexp.exp_elisions; requires an int8-valued input, so
+    only legal with ``mask=None``) and, when ``N·p·2^n`` fits int32, an
+    int32 row sum that equals the hi/lo-split f32 sum bit-for-bit (both
+    produce the exact integer sum and round once at the same point).
+
     Returns ``(q_out, scale_out)`` with ``scale_out = 1/2^(out_bits−1)``.
     """
+    import math as _math
+
     if mask is not None:
         assert q_max is None, "precomputed q_max cannot see the mask"
+        # the additive mask breaks the int8 domain bound: the range
+        # clamp must stay (clip elision + int32 sum depend only on p)
+        in_lo = -_math.inf
         q = q + mask
     if q_max is None:
         q_max = jnp.max(q, axis=-1, keepdims=True)
     q_in = q
     q = q - q_max
 
-    exp_int, _ = int_exp_shift(q, scale, n, interp)
-    exp_sum = _exact_sum_lastdim(exp_int, interp)
+    el_clamp, el_clip = exp_elisions(static_p, n, in_lo=in_lo)
+    exp_int, _ = int_exp_shift(
+        q, scale, n, interp, elide_clamp=el_clamp, elide_clip=el_clip
+    )
+    if (
+        static_p is not None
+        and not interp.is_sim
+        and q.shape[-1] * (static_p + 2) * 2.0**n < 2.0**31
+    ):
+        exp_sum = jnp.sum(
+            exp_int.astype(jnp.int32), axis=-1, keepdims=True
+        ).astype(jnp.float32)
+    else:
+        exp_sum = _exact_sum_lastdim(exp_int, interp)
     exp_sum = interp.clip(exp_sum, 1.0, _I32_MAX)
 
     factor = interp.floor(_I32_MAX / exp_sum)

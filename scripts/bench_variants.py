@@ -29,6 +29,8 @@ VARIANTS = {
     "lingelu": {"pallas_ops": ("linear_gelu",)},
     "intsm": {"sm_int_lanes": True},
     "smsplit16": {"sm_split": True, "sm_int16": True},
+    "attn2": {"pallas_ops": ("attention2",)},
+    "attn2_lingelu": {"pallas_ops": ("attention2", "linear_gelu")},
 }
 
 

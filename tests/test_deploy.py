@@ -100,6 +100,15 @@ class TestDeployParity:
             pallas_ops=("attention",), attn_v_mode="exact",
         )(x)
         np.testing.assert_array_equal(np.asarray(pure), np.asarray(fused_attn))
+        # batched fused attention v2 ≡ the default f32-@V XLA path
+        # (identical chain + HIGH @V; exact f32 on CPU for both)
+        fused_attn2 = build_vit_infer(
+            artifact, use_pallas=True, pallas_interpret=True,
+            pallas_ops=("attention2",),
+        )(x)
+        np.testing.assert_array_equal(
+            np.asarray(f32mode), np.asarray(fused_attn2)
+        )
 
     def test_deploy_deterministic(self):
         model, variables = trained_tiny()

@@ -294,3 +294,51 @@ class TestShiftmaxIntDeploy:
                 jnp.asarray(q), jnp.float32(scale), out_bits=8
             )
             np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestStaticElisions:
+    """static_p guard elisions are value-identical (bit-for-bit) to the
+    full-guard spec over the whole int8 input domain and a scale sweep
+    spanning every elision regime (clamp elided / kept, clip elided /
+    kept, int32 sum / hi-lo sum)."""
+
+    SCALES = (1.0 / 600.0, 1.0 / 320.0, 0.005, 0.0099, 0.02,
+              0.0611, 0.13, 0.55, 0.97)
+
+    def test_shiftmax_elisions_bit_identical(self):
+        import math
+
+        q8 = np.tile(np.arange(-128, 128, dtype=np.float32), (2, 1))
+        rng = np.random.default_rng(2)
+        rand = rng.integers(-128, 128, (6, 256)).astype(np.float32)
+        q = jnp.asarray(np.concatenate([q8, rand]))
+        for scale in self.SCALES:
+            ref, _ = shiftmax(
+                q, jnp.float32(scale), out_bits=16, interp=DEPLOY
+            )
+            fast, _ = shiftmax(
+                q, jnp.float32(scale), out_bits=16, interp=DEPLOY,
+                static_p=math.ceil(1.0 / scale),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fast), np.asarray(ref), err_msg=f"s={scale}"
+            )
+
+    def test_shiftgelu_elisions_bit_identical(self):
+        import math
+
+        q8 = np.tile(np.arange(-128, 128, dtype=np.float32), (2, 1))
+        rng = np.random.default_rng(3)
+        rand = rng.integers(-128, 128, (6, 256)).astype(np.float32)
+        q = jnp.asarray(np.concatenate([q8, rand]))
+        for scale in self.SCALES:
+            ref, _ = shiftgelu(
+                q, jnp.float32(scale), out_bits=8, interp=DEPLOY
+            )
+            fast, _ = shiftgelu(
+                q, jnp.float32(scale), out_bits=8, interp=DEPLOY,
+                static_p=math.ceil(1.0 / (1.702 * scale)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fast), np.asarray(ref), err_msg=f"s={scale}"
+            )
