@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--output", default="results/artifact.pkl")
     p.add_argument("--nb-classes", default=1000, type=int)
     p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--window-size", default=7, type=int,
+                   help="Swin window size (must match training)")
     args = p.parse_args(argv)
 
     from ivit_tpu.deploy import freeze_vit
@@ -30,9 +32,10 @@ def main(argv=None):
     from ivit_tpu.models import create_model
     from ivit_tpu.utils import load_checkpoint_raw, save_artifact
 
-    model = create_model(
-        args.model, num_classes=args.nb_classes, img_size=args.input_size
-    )
+    kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
+    if args.model.startswith("swin"):
+        kwargs["window_size"] = args.window_size
+    model = create_model(args.model, **kwargs)
     # Only params + quant_stats are needed to freeze; the raw state-dict
     # avoids reconstructing the training-time optimizer pytree.
     raw, extra = load_checkpoint_raw(args.checkpoint)

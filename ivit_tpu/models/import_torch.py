@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from typing import Dict
 
 import numpy as np
@@ -207,9 +208,65 @@ def merge_params(init_params: dict, loaded: dict, prefix=""):
     return out
 
 
+# The reference's published pretrained checkpoints, fetched when
+# --pretrained auto is requested (the reference hardcodes these fetches
+# in its factories: /root/reference/models/vit_quant.py:297-379,
+# swin_quant.py:580-623).
+PRETRAINED_URLS = {
+    "deit_tiny": "https://dl.fbaipublicfiles.com/deit/deit_tiny_patch16_224-a1311bcf.pth",
+    "deit_small": "https://dl.fbaipublicfiles.com/deit/deit_small_patch16_224-cd65a155.pth",
+    "deit_base": "https://dl.fbaipublicfiles.com/deit/deit_base_patch16_224-b5f2ef4d.pth",
+    "vit_base": (
+        "https://storage.googleapis.com/vit_models/augreg/"
+        "B_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.0-sd_0.0"
+        "--imagenet2012-steps_20k-lr_0.01-res_224.npz"
+    ),
+    "vit_large": (
+        "https://storage.googleapis.com/vit_models/augreg/"
+        "L_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.1-sd_0.1"
+        "--imagenet2012-steps_20k-lr_0.01-res_224.npz"
+    ),
+    "swin_tiny": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_tiny_patch4_window7_224.pth",
+    "swin_small": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_small_patch4_window7_224.pth",
+    "swin_base": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_base_patch4_window7_224.pth",
+}
+
+
+def _fetch_pretrained(model_name: str) -> str:
+    """Download the reference's published checkpoint for ``model_name``
+    into the torch hub cache; returns the local path. Needs network."""
+    import urllib.parse
+
+    try:
+        url = PRETRAINED_URLS[model_name]
+    except KeyError:
+        raise ValueError(
+            f"no published pretrained checkpoint for {model_name!r}; "
+            f"known: {sorted(PRETRAINED_URLS)}"
+        ) from None
+    import torch.hub
+
+    hub_dir = os.path.join(torch.hub.get_dir(), "checkpoints")
+    os.makedirs(hub_dir, exist_ok=True)
+    fname = os.path.basename(urllib.parse.urlparse(url).path)
+    dst = os.path.join(hub_dir, fname)
+    if not os.path.exists(dst):
+        try:
+            torch.hub.download_url_to_file(url, dst, progress=False)
+        except Exception as e:  # no network in air-gapped deployments
+            raise RuntimeError(
+                f"could not fetch {url}: {e}. Download it on a "
+                f"networked machine and pass --pretrained <local path>."
+            ) from e
+    return dst
+
+
 def load_pretrained(path: str, model_name: str, init_params: dict) -> dict:
     """Load a torch ``.pth``/``.pth.tar`` or Flax ``.npz`` checkpoint into
-    an initialized param tree."""
+    an initialized param tree. ``path='auto'`` fetches the reference's
+    published checkpoint for ``model_name`` (torch-hub cached)."""
+    if path == "auto":
+        path = _fetch_pretrained(model_name)
     if path.endswith(".npz"):
         depth = 1 + max(
             int(k.split("_")[1]) for k in init_params if k.startswith("blocks_")

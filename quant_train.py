@@ -85,7 +85,9 @@ def build_parser():
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel axis size (data axis gets the rest)")
     p.add_argument("--pretrained", type=str, default="",
-                   help="path to a torch/npz checkpoint to import")
+                   help="path to a torch/npz checkpoint to import, or "
+                        "'auto' to fetch the reference's published "
+                        "checkpoint for --model (needs network)")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of steps [10, 10+N) "
                         "of epoch 0 into <output-dir>/profile")
