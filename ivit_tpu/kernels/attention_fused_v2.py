@@ -35,6 +35,7 @@ evaluate_latency.py:55-78).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -87,15 +88,16 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, s_ref, *, heads, r1, scale, n,
     factor = jnp.floor(_I32_MAX / esum)
     sm = jnp.floor(e * factor * (1.0 / 2.0 ** (32 - out_bits)))
 
-    # ---- phase 3 (MXU): probabilities @ V in f32 HIGH (3-pass bf16 —
-    # exact for 15-bit x 7-bit operands; the engine's own @V mode),
-    # requant epilogue to int8
+    # ---- phase 3 (MXU): probabilities @ V in f32 HIGHEST (Mosaic does
+    # not lower HIGH; HIGHEST is bit-equal to the engine's HIGH @V for
+    # 15-bit x 7-bit operands — BENCH_NOTES — and the in-kernel @V MXU
+    # time is negligible), requant epilogue to int8
     for h in range(heads):
         ctx = jax.lax.dot_general(
             sm[h], v_ref[0, h].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (Mpad, hd)
         out_ref[0, h] = jnp.clip(
             jnp.round(ctx * r_out), -128.0, 127.0
@@ -129,7 +131,7 @@ def fused_int8_attention_v2(
     assert Npad % 128 == 0 and Mpad % 32 == 0, (Mpad, Npad)
     assert k.shape == (B, H, hd, Npad), k.shape
     assert v.shape == (B, H, Npad, hd), v.shape
-    p_abs = -float(jnp.floor(-1.0 / jnp.float32(scale)))
+    p_abs = -math.floor(-1.0 / float(scale))
     assert n_valid * p_abs * 2.0**n < 2.0**31, (
         "scale too small for the int32-sum/no-clip fast path; "
         "use the XLA engine path"

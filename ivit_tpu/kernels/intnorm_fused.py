@@ -29,11 +29,16 @@ def _kernel(x_ref, bias_ref, ratio_ref, out_ref, *, lo, hi):
     a = xi >> 8
     b = xi & 255
     s_q = jnp.sum(xi, axis=-1, keepdims=True).astype(jnp.float32)
-    s_aa = jnp.sum(a * a, axis=-1, keepdims=True).astype(jnp.float32)
-    s_ab = jnp.sum(a * b, axis=-1, keepdims=True).astype(jnp.float32)
     s_bb = jnp.sum(b * b, axis=-1, keepdims=True).astype(jnp.float32)
+    if d <= 1000:
+        # merged accumulator: q2 = (a2*2^7 + ab)*2^9 + b2 (ops spec)
+        s_t = jnp.sum(a * a * 128 + a * b, axis=-1, keepdims=True)
+        sq2 = s_t.astype(jnp.float32) * (2.0**9) + s_bb
+    else:
+        s_aa = jnp.sum(a * a, axis=-1, keepdims=True).astype(jnp.float32)
+        s_ab = jnp.sum(a * b, axis=-1, keepdims=True).astype(jnp.float32)
+        sq2 = s_aa * (2.0**16) + s_ab * (2.0**9) + s_bb
     mean = jnp.round(s_q / d)
-    sq2 = s_aa * (2.0**16) + s_ab * (2.0**9) + s_bb
     var = jnp.maximum(sq2 - 2.0 * mean * s_q + d * mean * mean, 0.0)
     y = x - mean
 

@@ -40,23 +40,38 @@ _NEWTON_ITERS = 10
 
 
 def _exact_stats(q: jax.Array):
-    """One-pass exact (Σq, Σq²) over the last axis in int32 lanes.
+    """One-pass (Σq, Σq²) over the last axis in exact int32 lanes.
 
-    Exact for integer-valued ``q`` with |q| < 2^16 and row length
-    ≤ 8192: Σq ≤ 2^29 fits int32; q² < 2^32 is carried as
-    ``hi·2^15 + lo`` with both partial sums ≤ 2^28.
+    Exact partial sums for integer-valued ``q`` with |q| < 2^16 and row
+    length ≤ 8192 (Σq ≤ 2^29 fits int32; int32 q·q would wrap for
+    |q| > 46340, so the factors are split at 8 bits:
+    q² = a²·2^16 + 2ab·2^8 + b² with a = q≫8, b = q&255). Rows ≤ 1000
+    merge the a² and ab accumulators — q² = (a²·2^7 + ab)·2^9 + b², one
+    fewer lane reduce; |Σ(a²·2^7 + ab)| ≤ d·(2^21 + 2^15) stays in
+    int32 exactly for d ≤ 1008. The recombine into f32 (Σq² itself can
+    exceed 2^24) rounds deterministically: a fixed expression tree,
+    chosen statically by row length, identical in SIM and DEPLOY.
     """
+    d = q.shape[-1]
     qi = q.astype(jnp.int32)
-    # int32 q·q would wrap for |q| > 46340, so split the factors:
-    # q² = a²·2^16 + 2ab·2^8 + b² with a = q>>8, b = q&255 — every term
-    # < 2^17 and every row sum ≤ 8192·2^16 = 2^29, exact in int32.
     a = qi >> 8
     b = qi & 255
     s_q = jnp.sum(qi, axis=-1, keepdims=True)
-    s_aa = jnp.sum(a * a, axis=-1, keepdims=True)
-    s_ab = jnp.sum(a * b, axis=-1, keepdims=True)
     s_bb = jnp.sum(b * b, axis=-1, keepdims=True)
-    return s_q, s_aa, s_ab, s_bb
+    if d <= 1000:
+        s_t = jnp.sum(a * a * 128 + a * b, axis=-1, keepdims=True)
+        sq2 = s_t.astype(jnp.float32) * (2.0**9) + s_bb.astype(
+            jnp.float32
+        )
+    else:
+        s_aa = jnp.sum(a * a, axis=-1, keepdims=True)
+        s_ab = jnp.sum(a * b, axis=-1, keepdims=True)
+        sq2 = (
+            s_aa.astype(jnp.float32) * (2.0**16)
+            + s_ab.astype(jnp.float32) * (2.0**9)
+            + s_bb.astype(jnp.float32)
+        )
+    return s_q, sq2
 
 
 def int_layernorm(
@@ -77,16 +92,10 @@ def int_layernorm(
     base_scale = math.sqrt(d) / 2.0**30
 
     qs = jax.lax.stop_gradient(q)
-    s_q, s_aa, s_ab, s_bb = _exact_stats(qs)
+    s_q, sq2 = _exact_stats(qs)
     sum_f = s_q.astype(jnp.float32)  # ≤ 2^29: one deterministic rounding
     mean_val = jnp.round(sum_f / d)
-    # Expanded identity, fixed expression tree (deterministic rounding):
-    # Σq² = Σa²·2^16 + Σab·2^9 + Σb² ;  var = Σq² − 2mΣq + Dm²
-    sq2 = (
-        s_aa.astype(jnp.float32) * (2.0**16)
-        + s_ab.astype(jnp.float32) * (2.0**9)
-        + s_bb.astype(jnp.float32)
-    )
+    # var = Σq² − 2mΣq + Dm² (fixed expression tree, deterministic)
     var_val = sq2 - 2.0 * mean_val * sum_f + d * mean_val * mean_val
     var_val = jnp.maximum(var_val, 0.0)  # guard f32 cancellation
 
