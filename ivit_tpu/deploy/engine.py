@@ -153,7 +153,9 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                     attn_v_mode: str = "f32",
                     sm_int16: bool = False,
                     sm_split: bool = False,
-                    sm_int_lanes: bool = False):
+                    sm_int_lanes: bool = False,
+                    proj_4d: bool = False,
+                    res_split: bool = False):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
     ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
@@ -410,6 +412,11 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # barrier pins the int8 conversion before the (H, N) transpose
         # copy the proj matmul needs (otherwise XLA copies in f32).
         ctx = _mat(rq(ctx, s_ctx / sao, *_INT8, jnp.int8), jnp.int8)
+        if proj_4d:
+            # hand the (B, H, N, hd) context to the proj dot directly
+            # (reshaped-weight contraction in _attn_tail) — no explicit
+            # head-merge copy; XLA lays out the operand itself.
+            return _attn_tail(x, s_x, blk, ctx)
         # explicit head-merge AFTER the s8 barrier: the (H, N) transpose
         # copy then moves int8 bytes, not the f32 carrier XLA's layout
         # assignment would otherwise copy before converting.
@@ -435,6 +442,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             acc = _linear(ctx, proj)
         sap = _scale(blk["s_attn_proj"])
         ctx = rq(acc, _scale(proj["out_scale"]) / sap, *_INT16, jnp.float32)
+        if res_split:
+            ctx = _mat(ctx, jnp.int16).astype(jnp.float32)
 
         # residual merge (dual-scale 16-bit, vit_quant.py:135); s16
         # materialization halves the residual stream's HBM traffic.
@@ -536,6 +545,11 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         acc = _linear(g8, fc2)
         smo = _scale(blk["s_mlp_out"])
         m = rq(acc, _scale(fc2["out_scale"]) / smo, *_INT16, jnp.float32)
+        if res_split:
+            # cut the dot+requant fusion free of the residual chain: the
+            # fused (dot, requant, residual, s16-store) kOutput fusion
+            # measures ~2x the bare dot+requant rate (profiled).
+            m = _mat(m, jnp.int16).astype(jnp.float32)
 
         sr2 = _scale(blk["s_res2"])
         x = _mat(

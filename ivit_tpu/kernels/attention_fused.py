@@ -64,8 +64,9 @@ def _one_head(q, k, v, *, r1, scale, n, out_bits, n_valid, r_out):
         + jnp.sum(elo, axis=-1, keepdims=True)
     )
     esum = jnp.clip(esum, 1.0, _I32_MAX)
-    factor = jnp.floor(_I32_MAX / esum)
-    sm = jnp.floor(e * factor / 2.0 ** (32 - out_bits))
+    # 2^-k folded into the per-row factor (exact; ops/shiftmax.py)
+    factor = jnp.floor(_I32_MAX / esum) * (1.0 / 2.0 ** (32 - out_bits))
+    sm = jnp.floor(e * factor)
 
     # base-256 split → two int8 MXU matmuls + rank-1 correction (exact)
     hi = jnp.floor(sm / 256.0)

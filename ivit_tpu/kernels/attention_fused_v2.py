@@ -85,8 +85,9 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, s_ref, *, heads, r1, scale, n,
         jnp.float32
     )
     esum = jnp.clip(esum, 1.0, _I32_MAX)
-    factor = jnp.floor(_I32_MAX / esum)
-    sm = jnp.floor(e * factor * (1.0 / 2.0 ** (32 - out_bits)))
+    # 2^-k folded into the per-row factor (exact; ops/shiftmax.py)
+    factor = jnp.floor(_I32_MAX / esum) * (1.0 / 2.0 ** (32 - out_bits))
+    sm = jnp.floor(e * factor)
 
     # ---- phase 3 (MXU): probabilities @ V in f32 HIGHEST (Mosaic does
     # not lower HIGH; HIGHEST is bit-equal to the engine's HIGH @V for

@@ -63,8 +63,9 @@ def _kernel(x_ref, hi_ref, lo_ref, *, r1, scale, n, out_bits, n_valid):
         + jnp.sum(elo, axis=-1, keepdims=True)
     )
     exp_sum = jnp.clip(exp_sum, 1.0, _I32_MAX)
-    factor = jnp.floor(_I32_MAX / exp_sum)
-    sm = jnp.floor(exp_int * factor / 2.0 ** (32 - out_bits))
+    # 2^-k folded into the per-row factor (exact; ops/shiftmax.py)
+    factor = jnp.floor(_I32_MAX / exp_sum) * (1.0 / 2.0 ** (32 - out_bits))
+    sm = jnp.floor(exp_int * factor)
 
     # base-256 split for the two-int8-matmul decomposition:
     # sm = 256·hi + (lo′ + 128), exact for sm ∈ [0, 2^15].

@@ -31,6 +31,9 @@ VARIANTS = {
     "smsplit16": {"sm_split": True, "sm_int16": True},
     "attn2": {"pallas_ops": ("attention2",)},
     "attn2_lingelu": {"pallas_ops": ("attention2", "linear_gelu")},
+    "proj4d": {"proj_4d": True},
+    "resbar": {"res_split": True},
+    "sm16_resbar": {"sm_int16": True, "res_split": True},
 }
 
 

@@ -1,0 +1,62 @@
+"""On-device sim↔deploy parity check at full model size.
+
+Round-1 left a residual TPU-side deviation (~5% of logit std) traced to
+f32 reduction order + host/device division tie-breaks; round 2 closed
+every diagnosed source (device-side ratio math, order-independent exact
+LN stats and softmax sums). This script measures what remains on the
+real chip: max |Δlogit| in units of the head output scale, plus argmax
+agreement — the bar is "a few head-scale LSBs", the CPU-proven level.
+
+Usage: python scripts/check_tpu_parity.py [model] [batch]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from ivit_tpu.deploy import build_vit_infer, freeze_vit
+from ivit_tpu.models import create_model
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "deit_small"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    model = create_model(name)
+    rng = jax.random.PRNGKey(0)
+    sample = jax.random.normal(rng, (2, 224, 224, 3))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
+        jax.random.PRNGKey(1), sample
+    )
+    # a few stat-updating passes so EMA ranges are non-degenerate
+    upd = jax.jit(
+        lambda v, x: model.apply(v, x, train=True, mutable=["quant_stats"])
+    )
+    for i in range(3):
+        x = jax.random.normal(jax.random.PRNGKey(10 + i), (4, 224, 224, 3))
+        _, new = upd(variables, x)
+        variables = {"params": variables["params"], **new}
+
+    artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+    x = jax.random.normal(jax.random.PRNGKey(42), (batch, 224, 224, 3))
+
+    sim = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    )
+    dep = np.asarray(jax.jit(build_vit_infer(artifact))(x))
+
+    head_scale = float(np.max(artifact["head"]["out_scale"]))
+    delta = np.abs(dep - sim)
+    agree = float((np.argmax(dep, -1) == np.argmax(sim, -1)).mean())
+    print(
+        f"{name} batch={batch}: max|dlogit| = {delta.max():.6g} "
+        f"({delta.max()/head_scale:.2f} head-scale LSBs), "
+        f"mean = {delta.mean():.3g}, logit std = {sim.std():.3g}, "
+        f"argmax agreement = {100*agree:.2f}%"
+    )
+
+
+if __name__ == "__main__":
+    main()
