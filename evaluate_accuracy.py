@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--nb-classes", default=1000, type=int)
     p.add_argument("--num-workers", default=8, type=int)
+    p.add_argument("--mesh-data", default=1, type=int,
+                   help="data-parallel inference over N chips "
+                        "(batch sharded on a (data,) mesh)")
     p.add_argument("--max-batches", default=0, type=int,
                    help="0 = full validation set")
     args = p.parse_args(argv)
@@ -43,7 +46,14 @@ def main(argv=None):
     build_infer = (
         build_swin_infer if args.model.startswith("swin") else build_vit_infer
     )
-    infer = jax.jit(build_infer(artifact))
+    if args.mesh_data > 1:
+        from ivit_tpu.parallel import make_mesh, shard_infer
+
+        mesh = make_mesh(data=args.mesh_data, model=1,
+                         devices=jax.devices()[: args.mesh_data])
+        infer = shard_infer(build_infer(artifact), mesh)
+    else:
+        infer = jax.jit(build_infer(artifact))
 
     ds = build_dataset(args.data_set, args.data, False,
                        args.input_size, args.nb_classes)
@@ -58,7 +68,11 @@ def main(argv=None):
     for b, (images, labels) in enumerate(loader):
         if args.max_batches and b >= args.max_batches:
             break
-        logits = np.asarray(infer(images))
+        n = len(labels)
+        pad = -n % args.mesh_data
+        if pad:  # ragged last batch: pad to the data-axis multiple
+            images = np.concatenate([images, images[:pad]])
+        logits = np.asarray(infer(images))[:n]
         order = np.argsort(logits, -1)
         top1 += int((order[:, -1] == labels).sum())
         top5 += int((order[:, -5:] == labels[:, None]).any(-1).sum())

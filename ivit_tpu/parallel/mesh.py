@@ -74,6 +74,22 @@ def _spec_for(path: str, ndim: int, model_size: int) -> P:
     return P()
 
 
+def shard_infer(infer_fn, mesh: Mesh):
+    """Data-parallel deployment: jit an engine forward (deploy.engine /
+    deploy.swin_engine builders — pure closures over frozen weights)
+    with the batch sharded over the ``data`` axis. GSPMD replicates the
+    closure's weight constants onto every chip and runs each shard's
+    examples locally — per-example integer compute is untouched, so the
+    sharded logits are bit-identical to single-device execution (the
+    serving-scale analogue of the reference's single-GPU-only TVM path,
+    /root/reference/TVM_benchmark/build_model.py:59-60).
+
+    The global batch must be divisible by ``mesh.shape['data']``.
+    """
+    sh = NamedSharding(mesh, P("data"))
+    return jax.jit(infer_fn, in_shardings=sh, out_shardings=sh)
+
+
 def param_shardings(tree, mesh: Mesh):
     """Pytree of NamedShardings for a parameter/state pytree.
 

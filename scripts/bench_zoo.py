@@ -1,0 +1,56 @@
+"""Batch-128 int8 throughput across the model zoo (one v5e chip).
+
+Usage: python scripts/bench_zoo.py [model ...]
+Defaults to the six flagship configs. Loop-timed with final readback.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from ivit_tpu.deploy import build_vit_infer, freeze_vit
+from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
+from ivit_tpu.models import create_model
+
+BATCH = 128
+ITERS = 20
+
+
+def time_fn(fn, x, iters=ITERS):
+    float(fn(x)[0, 0])
+    float(fn(x)[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    float(out[0, 0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    names = sys.argv[1:] or [
+        "deit_tiny", "deit_small", "deit_base",
+        "swin_tiny", "swin_small", "swin_base",
+    ]
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (BATCH, 224, 224, 3))
+    for name in names:
+        is_swin = name.startswith("swin")
+        model = create_model(name)
+        sample = jax.random.normal(rng, (2, 224, 224, 3))
+        variables = jax.jit(lambda r, x, m=model: m.init(r, x, train=True))(
+            jax.random.PRNGKey(1), sample
+        )
+        freeze = freeze_swin if is_swin else freeze_vit
+        build = build_swin_infer if is_swin else build_vit_infer
+        artifact = freeze(model, jax.tree.map(np.asarray, variables))
+        fn = jax.jit(build(artifact))
+        t = time_fn(fn, images)
+        print(f"{name:12s} {t*1e3:8.2f} ms  {BATCH/t:8.1f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

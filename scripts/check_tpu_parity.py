@@ -18,12 +18,16 @@ import jax
 import numpy as np
 
 from ivit_tpu.deploy import build_vit_infer, freeze_vit
+from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
 from ivit_tpu.models import create_model
 
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "deit_small"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    is_swin = name.startswith("swin")
+    freeze = freeze_swin if is_swin else freeze_vit
+    build = build_swin_infer if is_swin else build_vit_infer
     model = create_model(name)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))
@@ -32,20 +36,23 @@ def main():
     )
     # a few stat-updating passes so EMA ranges are non-degenerate
     upd = jax.jit(
-        lambda v, x: model.apply(v, x, train=True, mutable=["quant_stats"])
+        lambda v, x: model.apply(
+            v, x, train=True, mutable=["quant_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
     )
     for i in range(3):
         x = jax.random.normal(jax.random.PRNGKey(10 + i), (4, 224, 224, 3))
         _, new = upd(variables, x)
         variables = {"params": variables["params"], **new}
 
-    artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+    artifact = freeze(model, jax.tree.map(np.asarray, variables))
     x = jax.random.normal(jax.random.PRNGKey(42), (batch, 224, 224, 3))
 
     sim = np.asarray(
         jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     )
-    dep = np.asarray(jax.jit(build_vit_infer(artifact))(x))
+    dep = np.asarray(jax.jit(build(artifact))(x))
 
     head_scale = float(np.max(artifact["head"]["out_scale"]))
     delta = np.abs(dep - sim)
