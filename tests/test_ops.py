@@ -342,3 +342,25 @@ class TestStaticElisions:
             np.testing.assert_array_equal(
                 np.asarray(fast), np.asarray(ref), err_msg=f"s={scale}"
             )
+
+
+class TestLayerNormWideRows:
+    """The d > 1000 stats fallback (vit_large's D=1024 exceeds the
+    merged-accumulator int32 bound) must stay SIM/DEPLOY bit-identical
+    and numerically a LayerNorm."""
+
+    def test_wide_row_parity_and_value(self):
+        rng = np.random.default_rng(7)
+        for d in (1024, 1536):
+            q = jnp.asarray(
+                rng.integers(-(2**15), 2**15, (4, d)).astype(np.float32)
+            )
+            gamma = jnp.ones((d,))
+            beta = jnp.zeros((d,))
+            a, sa = int_layernorm(q, gamma, beta, DEPLOY)
+            b, sb = int_layernorm(q, gamma, beta, SIM)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            y = np.asarray(a) * np.asarray(sa)
+            x = np.asarray(q)
+            ref = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
+            np.testing.assert_allclose(y, ref, atol=5e-3)
