@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--window-size", default=7, type=int,
                    help="Swin window size (must match training)")
+    p.add_argument("--export-engine", default="",
+                   help="also export a compiled StableHLO engine "
+                        "(self-contained; loads with jax alone)")
+    p.add_argument("--export-batch", default=1, type=int,
+                   help="batch size the exported engine is built for")
     args = p.parse_args(argv)
 
     from ivit_tpu.deploy import freeze_vit
@@ -45,6 +50,22 @@ def main(argv=None):
     save_artifact(args.output, artifact)
     print(f"wrote {args.output} (epoch {extra.get('epoch', '?')}, "
           f"best_acc1 {extra.get('best_acc1', '?')})")
+
+    if args.export_engine:
+        from ivit_tpu.deploy import export_engine
+        from ivit_tpu.deploy.engine import build_vit_infer
+        from ivit_tpu.deploy.swin_engine import build_swin_infer
+
+        build = (
+            build_swin_infer if args.model.startswith("swin")
+            else build_vit_infer
+        )
+        export_engine(
+            build(artifact), args.export_batch, args.input_size,
+            path=args.export_engine,
+        )
+        print(f"wrote {args.export_engine} "
+              f"(StableHLO, batch {args.export_batch})")
 
 
 if __name__ == "__main__":

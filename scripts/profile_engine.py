@@ -19,25 +19,31 @@ LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ivit_trace"
 
 
 def capture():
+    import os as _os
+
     from ivit_tpu.deploy import build_vit_infer, freeze_vit
+    from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
     from ivit_tpu.models import create_model
 
-    model = create_model("deit_small")
+    name = _os.environ.get("IVIT_PROFILE_MODEL", "deit_small")
+    is_swin = name.startswith("swin")
+    model = create_model(name)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))
     variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
         jax.random.PRNGKey(1), sample
     )
-    artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+    freeze = freeze_swin if is_swin else freeze_vit
+    build = build_swin_infer if is_swin else build_vit_infer
+    artifact = freeze(model, jax.tree.map(np.asarray, variables))
     images = jax.random.normal(rng, (128, 224, 224, 3))
-    import os as _os
 
     kw = {}
     if _os.environ.get("IVIT_PROFILE_VARIANT"):
         from scripts.bench_variants import VARIANTS
 
         kw = VARIANTS[_os.environ["IVIT_PROFILE_VARIANT"]]
-    fn = jax.jit(build_vit_infer(artifact, **kw))
+    fn = jax.jit(build(artifact, **kw))
     float(fn(images)[0, 0])
     float(fn(images)[0, 0])
     with jax.profiler.trace(LOGDIR):
