@@ -193,14 +193,20 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         z = _requant(
             acc, _scale(blk["qkv"]["out_scale"]) / sa1, *_INT8, jnp.int8
         )
-        z = z.reshape(Bw, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = z[0], z[1], z[2]
+        # Layout-free head handling (the ViT engine's profiled pattern,
+        # engine.py:_block): slice the feature axis, keep (Bw, N, H, hd),
+        # and put the head axis in the dot_generals' batch dims — the
+        # explicit (2,0,3,1,4) head-split transpose this replaces was
+        # ~15% of the whole Swin engine (s8/s32 relayout copies).
+        q = z[..., :C].reshape(Bw, N, H, hd)
+        k = z[..., C:2 * C].reshape(Bw, N, H, hd)
+        v = z[..., 2 * C:].reshape(Bw, N, H, hd)
 
         attn = jax.lax.dot_general(
             q, k,
-            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
             preferred_element_type=jnp.int32,
-        )
+        )  # (Bw, H, N, N)
         s_attn = sa1 * sa1 * np.float32(float(hd) ** -0.5)
         s1 = _scale(blk["s_attn1"])
         a8 = _requant(attn, s_attn / s1, *_INT8, jnp.float32)
@@ -241,17 +247,28 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])
         s_sm = 1.0 / 2.0**7
 
+        # attn (Bw,H,N,K) @ v (Bw,K,H,hd) with batch dims (0,1)/(0,2):
+        # ctx (Bw,H,N,hd), no transposed copies (engine.py pattern)
         ctx = jax.lax.dot_general(
             sm8, v,
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
             preferred_element_type=jnp.int32,
         )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(Bw, N, C)
         s_ctx = s_sm * sa1
 
         so = _scale(blk["s_attn_out"])
         c8 = _mat(_requant(ctx, s_ctx / so, *_INT8, jnp.int8), jnp.int8)
-        acc = _linear(c8, blk["proj"])
+        # proj consumes the head-batched (Bw, H, N, hd) context directly:
+        # contract (H, hd) with the weight reshaped (H, hd, C) — row
+        # h·hd+d matches the simulator's head-merge reshape.
+        w = jnp.asarray(blk["proj"]["w"]).reshape(H, hd, C)
+        acc = jax.lax.dot_general(
+            c8, w,
+            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if "b" in blk["proj"]:
+            acc = acc + jnp.asarray(blk["proj"]["b"])
         sap = _scale(blk["s_attn_proj"])
         out = _requant(
             acc, _scale(blk["proj"]["out_scale"]) / sap, *_INT16, jnp.float32
@@ -275,6 +292,9 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
 
         aw, sap = _attention(xw, blk)
 
+        # s16 materialization before the window-reverse/roll relayouts:
+        # the copies then move 2-byte integers, not the f32 carrier
+        aw = _mat(aw, jnp.int16).astype(jnp.float32)
         g = window_reverse(aw, ws, res, res)
         if shift > 0:
             g = jnp.roll(g, (shift, shift), axis=(1, 2))
