@@ -67,6 +67,32 @@ class ShuffleSampler:
         return order[self.shard :: self.num_shards]
 
 
+# -- process-worker plumbing (spawn): state is installed once per
+# worker by the pool initializer; the task fn is module-level so it
+# pickles. The rng derivation matches the in-process path exactly, so
+# thread and process loaders produce bit-identical batches.
+_MP_STATE: dict = {}
+
+
+def _mp_init(dataset, transform, seed, epoch):
+    _MP_STATE["dataset"] = dataset
+    _MP_STATE["transform"] = transform
+    _MP_STATE["seed"] = seed
+    _MP_STATE["epoch"] = epoch
+
+
+def _mp_load(args):
+    pos, idx = args
+    img, label = _MP_STATE["dataset"].load(int(idx))
+    rng = np.random.default_rng(
+        (_MP_STATE["seed"], _MP_STATE["epoch"], pos, int(idx))
+    )
+    arr = _MP_STATE["transform"](img, rng)
+    if hasattr(img, "close"):
+        img.close()
+    return arr, label
+
+
 class DataLoader:
     """Iterable over (images[B,H,W,C] f32, labels[B] i32) numpy batches."""
 
@@ -80,6 +106,7 @@ class DataLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         seed: int = 0,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -90,6 +117,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        # Worker processes sidestep the GIL for the PIL/numpy transform
+        # pipeline (the reference's torch DataLoader also uses worker
+        # processes). Spawn start method: children never inherit live
+        # TPU/relay client state. Requires a picklable dataset and
+        # transform (transforms.TrainTransform / EvalTransform).
+        self.use_processes = use_processes
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -115,9 +148,25 @@ class DataLoader:
                 img.close()
             return arr, label
 
+        def make_pool():
+            if self.use_processes:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                return ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_mp_init,
+                    initargs=(self.dataset, self.transform, self.seed,
+                              self.epoch),
+                )
+            return ThreadPoolExecutor(self.num_workers)
+
+        load = _mp_load if self.use_processes else load_one
+
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                with make_pool() as pool:
                     for b in range(nb):
                         if stop.is_set():
                             return
@@ -126,7 +175,7 @@ class DataLoader:
                         ]
                         results = list(
                             pool.map(
-                                load_one,
+                                load,
                                 [
                                     (b * self.batch_size + j, i)
                                     for j, i in enumerate(batch_idx)
@@ -159,21 +208,17 @@ def build_dataloaders(args, dataset_train, dataset_val, num_shards=1, shard=0):
     """The ``dataloader(args)`` analogue (data_utils.py:14-42): train uses
     shuffled (or repeated-aug) sampling with drop_last, val is sequential
     with a 1.5× batch."""
-    from .transforms import eval_transform, train_transform
+    from .transforms import EvalTransform, TrainTransform
 
-    def tf_train(img, rng):
-        return train_transform(
-            img,
-            rng,
-            size=args.input_size,
-            color_jitter_strength=args.color_jitter,
-            reprob=args.reprob,
-            crop_scale=(getattr(args, "min_crop_scale", 0.08), 1.0),
-            use_rand_augment=getattr(args, "aa", "rand") not in ("", "none"),
-        )
-
-    def tf_eval(img, rng=None):
-        return eval_transform(img, size=args.input_size)
+    tf_train = TrainTransform(
+        size=args.input_size,
+        color_jitter_strength=args.color_jitter,
+        reprob=args.reprob,
+        crop_scale=(getattr(args, "min_crop_scale", 0.08), 1.0),
+        use_rand_augment=getattr(args, "aa", "rand") not in ("", "none"),
+    )
+    tf_eval = EvalTransform(size=args.input_size)
+    use_procs = bool(getattr(args, "loader_procs", False))
 
     sampler_cls = (
         RepeatAugSampler(len(dataset_train), shard=shard, num_shards=num_shards,
@@ -190,6 +235,7 @@ def build_dataloaders(args, dataset_train, dataset_val, num_shards=1, shard=0):
         drop_last=True,
         num_workers=args.num_workers,
         seed=args.seed,
+        use_processes=use_procs,
     )
     val_loader = DataLoader(
         dataset_val,
@@ -201,5 +247,6 @@ def build_dataloaders(args, dataset_train, dataset_val, num_shards=1, shard=0):
         drop_last=False,
         num_workers=args.num_workers,
         seed=args.seed,
+        use_processes=use_procs,
     )
     return train_loader, val_loader

@@ -255,3 +255,33 @@ def eval_transform(img: Image.Image, size=224, crop_pct=None) -> np.ndarray:
     x0, y0 = (nw - size) // 2, (nh - size) // 2
     img = img.crop((x0, y0, x0 + size, y0 + size))
     return normalize(np.asarray(img, np.float32))
+
+
+class TrainTransform:
+    """Picklable train-transform callable (process-based loader workers
+    must ship the transform to spawned children; closures cannot be
+    pickled). Same semantics as :func:`train_transform`."""
+
+    def __init__(self, size=224, color_jitter_strength=0.4,
+                 ra_magnitude=9.0, ra_mag_std=0.5, reprob=0.25,
+                 crop_scale=(0.08, 1.0), use_rand_augment=True):
+        self.kw = dict(
+            size=size, color_jitter_strength=color_jitter_strength,
+            ra_magnitude=ra_magnitude, ra_mag_std=ra_mag_std,
+            reprob=reprob, crop_scale=crop_scale,
+            use_rand_augment=use_rand_augment,
+        )
+
+    def __call__(self, img, rng):
+        return train_transform(img, rng, **self.kw)
+
+
+class EvalTransform:
+    """Picklable eval-transform callable (see :class:`TrainTransform`)."""
+
+    def __init__(self, size=224, crop_pct=None):
+        self.size = size
+        self.crop_pct = crop_pct
+
+    def __call__(self, img, rng=None):
+        return eval_transform(img, size=self.size, crop_pct=self.crop_pct)

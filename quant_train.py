@@ -70,6 +70,10 @@ def build_parser():
     p.add_argument("--train-interpolation", type=str, default="bicubic")
     p.add_argument("--repeated-aug", action="store_true")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--loader-procs", action="store_true",
+                   help="spawn worker PROCESSES for the input pipeline "
+                        "(sidesteps the GIL on multi-core hosts; the "
+                        "torch-DataLoader analogue)")
     p.add_argument("--min-crop-scale", type=float, default=0.08,
                    help="RandomResizedCrop lower scale bound")
     p.add_argument("--remode", type=str, default="pixel")

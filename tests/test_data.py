@@ -117,3 +117,34 @@ class TestLoader:
         )
         seen = sum(len(lb) for _, lb in loader)
         assert seen == 21
+
+
+class TestProcessLoader:
+    """Process-based workers (spawn; the torch-DataLoader analogue) must
+    produce batches bit-identical to the threaded loader — the per-item
+    rng is derived from (seed, epoch, pos, idx), not executor state."""
+
+    def test_process_loader_matches_threads(self):
+        from ivit_tpu.data.datasets import SyntheticDataset
+        from ivit_tpu.data.loader import DataLoader, ShuffleSampler
+        from ivit_tpu.data.transforms import TrainTransform
+
+        ds = SyntheticDataset(n=16, size=24, num_classes=4)
+        tf = TrainTransform(size=24, reprob=0.25)
+
+        def batches(use_processes):
+            dl = DataLoader(
+                ds, 8, tf,
+                sampler=ShuffleSampler(len(ds), seed=3),
+                drop_last=True, num_workers=2, seed=3,
+                use_processes=use_processes,
+            )
+            dl.set_epoch(1)
+            return list(dl)
+
+        bt = batches(False)
+        bp = batches(True)
+        assert len(bt) == len(bp) == 2
+        for (it, lt), (ip, lp) in zip(bt, bp):
+            np.testing.assert_array_equal(it, ip)
+            np.testing.assert_array_equal(lt, lp)
