@@ -35,17 +35,39 @@ def save_checkpoint(path: str, state, extra: dict | None = None):
     os.replace(tmp, path)
 
 
+def _resolve(path: str) -> str:
+    """Accept a local path or an http(s) URL (the reference resumes
+    from URLs via torch.hub, quant_train.py:217-220); URLs download
+    into the hub cache once."""
+    if path.startswith(("http://", "https://")):
+        import urllib.parse
+        import urllib.request
+
+        cache = os.path.expanduser("~/.cache/ivit_tpu/checkpoints")
+        os.makedirs(cache, exist_ok=True)
+        fname = os.path.basename(urllib.parse.urlparse(path).path)
+        dst = os.path.join(cache, fname)
+        if not os.path.exists(dst):
+            tmp = dst + ".tmp"
+            urllib.request.urlretrieve(path, tmp)
+            os.replace(tmp, dst)
+        return dst
+    return path
+
+
 def load_checkpoint(path: str, target):
-    """Restore into the structure of ``target``; returns (state, extra)."""
-    with open(path, "rb") as f:
+    """Restore into the structure of ``target``; returns (state, extra).
+    ``path`` may be a local file or an http(s) URL."""
+    with open(_resolve(path), "rb") as f:
         payload = pickle.load(f)
     state = serialization.from_state_dict(target, payload["state"])
     return state, payload.get("extra", {})
 
 
 def load_checkpoint_raw(path: str):
-    """Return the raw nested state-dict + extra (no target needed)."""
-    with open(path, "rb") as f:
+    """Return the raw nested state-dict + extra (no target needed).
+    ``path`` may be a local file or an http(s) URL."""
+    with open(_resolve(path), "rb") as f:
         payload = pickle.load(f)
     return payload["state"], payload.get("extra", {})
 
