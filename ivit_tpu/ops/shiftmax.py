@@ -12,6 +12,8 @@ ViT instantiates it with 16-bit output (vit_quant.py:54), Swin with
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -55,13 +57,11 @@ def shiftmax(
 
     Returns ``(q_out, scale_out)`` with ``scale_out = 1/2^(out_bits−1)``.
     """
-    import math as _math
-
     if mask is not None:
         assert q_max is None, "precomputed q_max cannot see the mask"
         # the additive mask breaks the int8 domain bound: the range
         # clamp must stay (clip elision + int32 sum depend only on p)
-        in_lo = -_math.inf
+        in_lo = -math.inf
         q = q + mask
     if q_max is None:
         q_max = jnp.max(q, axis=-1, keepdims=True)
