@@ -118,3 +118,35 @@ class TestDeployParity:
         a = np.asarray(infer(x))
         b = np.asarray(infer(x))
         np.testing.assert_array_equal(a, b)
+
+
+class TestEngineVariantMatrix:
+    """Every engine perf knob is value-identical to the default path
+    (they reorder or re-materialize, never change arithmetic)."""
+
+    @pytest.mark.slow
+    def test_flag_variants_bit_match_default(self):
+        model = VisionTransformer(
+            img_size=16, patch_size=8, num_classes=8,
+            embed_dim=128, depth=1, num_heads=4,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(4), x, train=True)
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+
+        base = np.asarray(
+            build_vit_infer(artifact, use_pallas=False)(x)
+        )
+        variants = [
+            {"sm_int16": True},
+            {"sm_split": True},
+            {"sm_int_lanes": True},
+            {"proj_4d": True},
+            {"res_split": True},
+            {"sm_int16": True, "res_split": True},
+        ]
+        for kw in variants:
+            out = np.asarray(
+                build_vit_infer(artifact, use_pallas=False, **kw)(x)
+            )
+            np.testing.assert_array_equal(out, base, err_msg=str(kw))
