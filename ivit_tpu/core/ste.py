@@ -66,5 +66,9 @@ def quantize(x: jax.Array, scale: jax.Array, bits: int) -> jax.Array:
     scale = jax.lax.stop_gradient(scale)
     q = round_ste(x / scale)
     # Clamp without masking gradients: the reference backward is an
-    # unconditional grad/scale (quant_utils.py:98-119).
-    return q + jax.lax.stop_gradient(jnp.clip(q, lo, hi) - q)
+    # unconditional grad/scale (quant_utils.py:98-119). Exact residue
+    # form (value ≡ clip(q) even for |q| ≫ hi, where the naive
+    # q + sg(clip−q) form cancels in f32 — see ops/interp.Interp.clip).
+    return jax.lax.stop_gradient(jnp.clip(q, lo, hi)) + (
+        q - jax.lax.stop_gradient(q)
+    )

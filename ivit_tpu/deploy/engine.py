@@ -270,8 +270,11 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             )
             return _attn_tail(x, s_x, blk, ctx)
 
+        # same expression the kernel asserts with (p_abs = ⌈1/s⌉ as
+        # −⌊−1/s⌋), so gate-pass implies assert-pass even at boundary
+        # scales where floor(1/s) < ceil(1/s)
         attn2_ok = (
-            N * math.floor(1.0 / float(blk["s_attn_sm_in"])) * 2.0**15
+            N * -math.floor(-1.0 / float(blk["s_attn_sm_in"])) * 2.0**15
             < 2.0**31
         )
         if p_attn2 and not attn2_ok:
@@ -357,7 +360,10 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             # rate there), so opt-in. 500 vs the true 512 bound leaves
             # margin for host/device floor disagreement in the gate.
             h_p = math.floor(1.0 / float(blk["s_attn_sm_in"]))
-            if sm_int_lanes and not sm_split and 1 <= h_p <= 500:
+            if (
+                sm_int_lanes and not sm_split and 1 <= h_p <= 500
+                and a8.shape[-1] <= 256  # int twin's row-sum bound
+            ):
                 sm, _ = shiftmax_int_deploy(a8, ssm, out_bits=16)
             else:
                 # sm_split recomputes the exp instead of materializing

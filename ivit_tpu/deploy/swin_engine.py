@@ -237,7 +237,10 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             # int32-lane softmax for unmasked windows when the frozen
             # scale admits it (bit-identical; see ops/shiftmax.py)
             h_p = math.floor(1.0 / float(blk["s_bias"]))
-            if sm_int_lanes and 1 <= h_p <= 500:
+            if (
+                sm_int_lanes and 1 <= h_p <= 500
+                and a8.shape[-1] <= 256  # int twin's row-sum bound
+            ):
                 sm, _ = shiftmax_int_deploy(a8, sb, out_bits=8)
             else:
                 sm, _ = shiftmax(

@@ -44,15 +44,33 @@ def _exp2_int_fast(k):
     return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
 
 
-def _exp2_int_sim(k):
-    """SIM-side exp2: the exact ldexp value (bit-matching DEPLOY) with
-    the transcendental's gradient (the reference backprops through
-    ``2**(n−q)``, quant_modules.py:420)."""
-    import jax
+import jax
 
-    return jnp.exp2(k) + jax.lax.stop_gradient(
-        _exp2_int_fast(k) - jnp.exp2(k)
-    )
+
+@jax.custom_vjp
+def _exp2_int_sim(k):
+    """SIM-side exp2: forward is bit-exactly the DEPLOY ldexp value,
+    gradient is the transcendental's ``ln2·2^k`` (the reference
+    backprops through ``2**(n−q)``, quant_modules.py:420).
+
+    custom_vjp rather than the ``a + sg(b − a)`` residue trick: that
+    form is only value-exact when ``b − a`` is representable relative
+    to ``a`` — it both NaNs at f32-overflowing ``k`` (inf − inf) and
+    can round ``a + (b−a)`` away from ``b`` near ulp boundaries."""
+    return _exp2_int_fast(k)
+
+
+def _exp2_sim_fwd(k):
+    return _exp2_int_fast(k), k
+
+
+def _exp2_sim_bwd(k, g):
+    # 2^k via the same exact ldexp (== exp2(k) for in-range integer k,
+    # and finite where the transcendental would overflow)
+    return (g * 0.6931471805599453 * _exp2_int_fast(k),)
+
+
+_exp2_int_sim.defvjp(_exp2_sim_fwd, _exp2_sim_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,12 +85,24 @@ class Interp:
     def clip(self, x, lo, hi):
         """Clamp with STE semantics in sim mode (the reference's clamps
         never mask gradients: fixedpoint_mul.backward is unconditional,
-        quant_utils.py:255-261)."""
+        quant_utils.py:255-261).
+
+        The STE uses the exact residue form ``sg(clipped) + (x − sg(x))``
+        (value ≡ clipped bit-for-bit since ``x − x = 0`` exactly; the
+        parenthesisation matters — ``(clipped + x) − x`` re-absorbs the
+        clip below x's ulp), NOT ``x + sg(clipped − x)``: that form
+        cancels catastrophically when ``|x| ≫ hi`` — e.g. shift-exp of
+        a large positive input yields x ≈ 1.2e18, where f32
+        ``clipped − x`` rounds to ``−x`` and the clip silently returned
+        0 instead of 2^31−1, breaking SIM↔DEPLOY parity on all-negative
+        GELU rows."""
         import jax
 
         clipped = jnp.clip(x, lo, hi)
         if self.is_sim:
-            return x + jax.lax.stop_gradient(clipped - x)
+            return jax.lax.stop_gradient(clipped) + (
+                x - jax.lax.stop_gradient(x)
+            )
         return clipped
 
 

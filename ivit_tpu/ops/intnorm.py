@@ -39,26 +39,38 @@ _I32_MAX = 2.0**31 - 1.0
 _NEWTON_ITERS = 10
 
 
-def _exact_stats(q: jax.Array):
+def _exact_stats(q: jax.Array, carrier_bound: int = 2**15):
     """One-pass (Σq, Σq²) over the last axis in exact int32 lanes.
 
-    Exact partial sums for integer-valued ``q`` with |q| < 2^16 and row
-    length ≤ 8192 (Σq ≤ 2^29 fits int32; int32 q·q would wrap for
-    |q| > 46340, so the factors are split at 8 bits:
-    q² = a²·2^16 + 2ab·2^8 + b² with a = q≫8, b = q&255). Rows ≤ 1000
+    Exact partial sums for integer-valued ``q`` with |q| ≤
+    ``carrier_bound`` (default 2^15 — the bound int_layernorm's callers
+    clip to) and row length ≤ 8192 (Σq ≤ 2^28 fits int32; int32 q·q
+    would wrap for |q| > 46340, so the factors are split at 8 bits:
+    q² = a²·2^16 + 2ab·2^8 + b² with a = q≫8, b = q&255). Short rows
     merge the a² and ab accumulators — q² = (a²·2^7 + ab)·2^9 + b², one
-    fewer lane reduce; |Σ(a²·2^7 + ab)| ≤ d·(2^21 + 2^15) stays in
-    int32 exactly for d ≤ 1008. The recombine into f32 (Σq² itself can
-    exceed 2^24) rounds deterministically: a fixed expression tree,
-    chosen statically by row length, identical in SIM and DEPLOY.
+    fewer lane reduce; |Σ(a²·2^7 + ab)| ≤ d·(A²·2^7 + A·2^8) with
+    A = carrier_bound/2^8 stays in int32 exactly for d ≤ 1008 at the
+    default bound — the merge threshold is DERIVED from
+    ``carrier_bound`` so a wider-carrier caller gets the safe split
+    automatically instead of silently wrapping int32. The recombine
+    into f32 (Σq² itself can exceed 2^24) rounds deterministically: a
+    fixed expression tree, chosen statically by row length, identical
+    in SIM and DEPLOY.
     """
     d = q.shape[-1]
+    big_a = max(carrier_bound >> 8, 1)
+    # split-path validity: Σa² ≤ d·A² must itself fit int32
+    assert d * big_a * big_a < 2**31, (
+        f"_exact_stats: d={d} at carrier_bound={carrier_bound} "
+        "overflows even the split accumulators"
+    )
+    merge_limit = (2**31 - 1) // (big_a * big_a * 128 + big_a * 256)
     qi = q.astype(jnp.int32)
     a = qi >> 8
     b = qi & 255
     s_q = jnp.sum(qi, axis=-1, keepdims=True)
     s_bb = jnp.sum(b * b, axis=-1, keepdims=True)
-    if d <= 1000:
+    if d <= min(1000, merge_limit):
         s_t = jnp.sum(a * a * 128 + a * b, axis=-1, keepdims=True)
         sq2 = s_t.astype(jnp.float32) * (2.0**9) + s_bb.astype(
             jnp.float32
@@ -103,11 +115,17 @@ def int_layernorm(
         # Differentiable twin + STE correction: forward takes the exact
         # values, gradients flow through the float formulation (the
         # reference's autograd path, quant_modules.py:359-363).
+        # exact residue form: value ≡ the exact-stat quantity bit-for-
+        # bit regardless of magnitude (see ops/interp.Interp.clip)
         mean_f = interp.round(jnp.mean(q, axis=-1, keepdims=True))
-        mean = mean_f + jax.lax.stop_gradient(mean_val - mean_f)
+        mean = jax.lax.stop_gradient(mean_val) + (
+            mean_f - jax.lax.stop_gradient(mean_f)
+        )
         y = q - mean
         var_f = jnp.sum(y * y, axis=-1, keepdims=True)
-        var = var_f + jax.lax.stop_gradient(var_val - var_f)
+        var = jax.lax.stop_gradient(var_val) + (
+            var_f - jax.lax.stop_gradient(var_f)
+        )
     else:
         mean = mean_val
         y = q - mean

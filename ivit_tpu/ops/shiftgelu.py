@@ -48,10 +48,16 @@ def shiftgelu(
         elide_clamp=el_clamp, elide_clip=el_clip,
     )
     exp_max, _ = int_exp_shift(-q_max, sig_scale, n, interp)   # e^(-max)
-    # sum clip: e1, e2 ≥ 1 structurally (r − 2x0 ≥ p + 1) and
-    # e1 + e2 ≤ 2·p·2^n — dead when (p+2)·2^(n+1) fits int32.
-    if static_p is not None and (static_p + 2) * 2.0 ** (n + 1) <= _I32_MAX:
-        exp_sum = exp_int + exp_max
+    # Sum clip: the LOWER bound is structurally dead (exp_int ≥
+    # ⌊(p+1)/2⌋ ≥ 1 since r − 2x0 > p ≥ 1 at exponent ≥ −1, and
+    # exp_max ≥ 0), so deploy elides it. The UPPER clip must stay
+    # unconditionally: exp_max = shift-exp(−q_max) is only bounded by
+    # p·2^n when q_max ≥ 0 — an all-negative row (q_max < 0, e.g. a
+    # token whose FC1 outputs are all strongly negative) makes −q_max
+    # positive, qt < 0, and exp_max saturates at 2^31−1, pushing the
+    # unclipped sum past int32 (factor would floor to 0 instead of 1).
+    if static_p is not None:
+        exp_sum = jnp.minimum(exp_int + exp_max, _I32_MAX)
     else:
         exp_sum = interp.clip(exp_int + exp_max, 1.0, _I32_MAX)
 

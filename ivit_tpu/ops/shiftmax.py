@@ -75,6 +75,10 @@ def shiftmax(
     if (
         static_p is not None
         and not interp.is_sim
+        # N ≤ 256 keeps the hi/lo-split twin single-rounding (longer
+        # rows take the 3-limb tree, which rounds differently — the
+        # int32 sum must only replace the tree it bit-matches)
+        and q.shape[-1] <= 256
         and q.shape[-1] * (static_p + 2) * 2.0**n < 2.0**31
     ):
         exp_sum = jnp.sum(
@@ -136,8 +140,14 @@ def shiftmax_int_deploy(
     (``v << (n − qt) >> 1`` also covers the qt = n right-shift case).
 
     No mask support (Swin's additive mask is non-integral); callers
-    gate on the host-side scale with margin (p ≤ 500).
+    gate on the host-side scale with margin (p ≤ 500) AND on row
+    length ≤ 256 (the hi/lo partial sums are only cast-exact below
+    2^24; a longer row takes _exact_sum_lastdim's 3-limb tree, which
+    this twin does not reproduce).
     """
+    assert q.shape[-1] <= 256, (
+        f"shiftmax_int_deploy requires rows <= 256, got {q.shape[-1]}"
+    )
     qi = q.astype(jnp.int32)
     q_max = jnp.max(qi, axis=-1, keepdims=True)
     u0 = qi - q_max  # <= 0
@@ -168,7 +178,7 @@ def shiftmax_int_deploy(
 
 
 def _exact_sum_lastdim(exp_int: jax.Array, interp: Interp) -> jax.Array:
-    """Order-independent exact row sum of shift-exp values.
+    """Order-independent row sum of shift-exp values.
 
     A plain f32 reduce rounds once partial sums pass 2^24, making the
     result depend on XLA's reduction order — sim and deploy compile
@@ -180,9 +190,30 @@ def _exact_sum_lastdim(exp_int: jax.Array, interp: Interp) -> jax.Array:
     deterministically. This also lands closer to the reference's TVM
     deploy semantics, which accumulates in int32 exactly
     (/root/reference/TVM_benchmark/models/layers.py:372-386).
+
+    Rows longer than 256 (e.g. a 384-resolution ViT's N=577) would
+    push the lo partial past 2^24 and silently reintroduce the
+    order-dependent rounding, so they take a 3-limb split at 2^12
+    instead: every partial stays exact for N ≤ 4096 (l0,l1 < 2^12 ⇒
+    Σ ≤ N·2^12 < 2^24; l2 < 2^7 since exp < 2^31). The recombine is a
+    fixed two-add expression tree — deterministic in any fusion
+    context, identical in SIM and DEPLOY.
     """
-    hi = interp.floor(exp_int * (1.0 / 2.0**16))
-    lo = exp_int - hi * (2.0**16)
-    hi_sum = jnp.sum(hi, axis=-1, keepdims=True)
-    lo_sum = jnp.sum(lo, axis=-1, keepdims=True)
-    return hi_sum * (2.0**16) + lo_sum
+    n_row = exp_int.shape[-1]
+    if n_row <= 256:
+        hi = interp.floor(exp_int * (1.0 / 2.0**16))
+        lo = exp_int - hi * (2.0**16)
+        hi_sum = jnp.sum(hi, axis=-1, keepdims=True)
+        lo_sum = jnp.sum(lo, axis=-1, keepdims=True)
+        return hi_sum * (2.0**16) + lo_sum
+    assert n_row <= 4096, (
+        f"exact shift-exp row sum supports rows <= 4096, got {n_row}"
+    )
+    l2 = interp.floor(exp_int * (1.0 / 2.0**24))
+    rem = exp_int - l2 * (2.0**24)
+    l1 = interp.floor(rem * (1.0 / 2.0**12))
+    l0 = rem - l1 * (2.0**12)
+    s2 = jnp.sum(l2, axis=-1, keepdims=True)
+    s1 = jnp.sum(l1, axis=-1, keepdims=True)
+    s0 = jnp.sum(l0, axis=-1, keepdims=True)
+    return (s2 * (2.0**12) + s1) * (2.0**12) + s0

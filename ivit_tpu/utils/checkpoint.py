@@ -36,20 +36,57 @@ def save_checkpoint(path: str, state, extra: dict | None = None):
 
 
 def _resolve(path: str) -> str:
-    """Accept a local path or an http(s) URL (the reference resumes
-    from URLs via torch.hub, quant_train.py:217-220); URLs download
-    into the hub cache once."""
+    """Accept a local path or an https URL (the reference resumes from
+    URLs via torch.hub, quant_train.py:217-220); URLs download into the
+    hub cache once.
+
+    Security posture (checkpoints are **pickle** — loading one executes
+    code, so they must come from trusted sources):
+
+    * https only; plain ``http://`` is refused unless the caller opts in
+      via ``IVIT_ALLOW_INSECURE_URL=1``.
+    * The cache is keyed by a hash of the FULL URL, not the basename, so
+      two different URLs ending in ``checkpoint.pth`` cannot collide.
+    * torch-hub hash-in-filename convention: a basename matching
+      ``name-<hexdigits>.pth`` has its sha256 verified against that
+      prefix after download (mismatch deletes the file and raises).
+    """
+    if path.startswith("http://") and not os.environ.get(
+        "IVIT_ALLOW_INSECURE_URL"
+    ):
+        raise ValueError(
+            f"refusing plain-http checkpoint URL {path!r}: checkpoints "
+            "are pickle (code execution on load) and must be fetched "
+            "over TLS. Use https://, or set IVIT_ALLOW_INSECURE_URL=1 "
+            "if you really trust the network path."
+        )
     if path.startswith(("http://", "https://")):
+        import hashlib
+        import re
         import urllib.parse
         import urllib.request
 
         cache = os.path.expanduser("~/.cache/ivit_tpu/checkpoints")
         os.makedirs(cache, exist_ok=True)
         fname = os.path.basename(urllib.parse.urlparse(path).path)
-        dst = os.path.join(cache, fname)
+        url_key = hashlib.sha256(path.encode()).hexdigest()[:16]
+        dst = os.path.join(cache, f"{url_key}-{fname}")
         if not os.path.exists(dst):
             tmp = dst + ".tmp"
             urllib.request.urlretrieve(path, tmp)
+            m = re.search(r"-([0-9a-f]{8,64})\.[^.]+$", fname)
+            if m:
+                digest = hashlib.sha256()
+                with open(tmp, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        digest.update(chunk)
+                if not digest.hexdigest().startswith(m.group(1)):
+                    os.remove(tmp)
+                    raise ValueError(
+                        f"checkpoint {path!r} failed its filename-hash "
+                        f"check: sha256 {digest.hexdigest()[:16]}… does "
+                        f"not start with {m.group(1)!r}"
+                    )
             os.replace(tmp, dst)
         return dst
     return path

@@ -343,6 +343,47 @@ class TestStaticElisions:
                 np.asarray(fast), np.asarray(ref), err_msg=f"s={scale}"
             )
 
+    def test_shiftgelu_all_negative_rows(self):
+        """Advisor round-2 high: an all-negative row (q_max < 0) drives
+        exp_max = shift-exp(−q_max) to the I32_MAX saturation, so the
+        sum exceeds int32 and an elided upper clip would floor the
+        normalizing factor to 0 (zeroing the whole row's GELU) where
+        the guarded spec clips the sum and yields factor 1. The fixed
+        elision (lower-bound-only) must stay bit-identical here too."""
+        import math
+
+        rows = []
+        for lo, hi in ((-128, -120), (-80, -30), (-128, -1), (-50, -40)):
+            rng = np.random.default_rng(abs(lo) + hi + 200)
+            rows.append(rng.integers(lo, hi + 1, (3, 64)))
+        rows.append(np.full((1, 64), -128))
+        rows.append(np.full((1, 64), -1))
+        q = jnp.asarray(np.concatenate(rows).astype(np.float32))
+        for scale in self.SCALES:
+            ref, _ = shiftgelu(
+                q, jnp.float32(scale), out_bits=8, interp=DEPLOY
+            )
+            sim, _ = shiftgelu(
+                q, jnp.float32(scale), out_bits=8, interp=SIM
+            )
+            fast, _ = shiftgelu(
+                q, jnp.float32(scale), out_bits=8, interp=DEPLOY,
+                static_p=math.ceil(1.0 / (1.702 * scale)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fast), np.asarray(ref), err_msg=f"s={scale}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fast), np.asarray(sim), err_msg=f"s={scale}"
+            )
+            # the data must actually exercise the hazard: the guarded
+            # spec yields a NONZERO row here (factor clips to ≥ 1 and
+            # the row-max element keeps sigmoid_int ≈ p/2), so the
+            # factor-0 collapse of the old elision cannot hide as an
+            # all-zero == all-zero match
+            if scale <= 0.02:
+                assert np.count_nonzero(np.asarray(ref)) > 0, scale
+
 
 class TestLayerNormWideRows:
     """The d > 1000 stats fallback (vit_large's D=1024 exceeds the
@@ -364,3 +405,35 @@ class TestLayerNormWideRows:
             x = np.asarray(q)
             ref = (x - x.mean(-1, keepdims=True)) / x.std(-1, keepdims=True)
             np.testing.assert_allclose(y, ref, atol=5e-3)
+
+
+class TestShiftmaxWideRows:
+    """Rows > 256 (e.g. a 384-resolution ViT's N=577) exceed the 2-limb
+    exact-sum bound; the 3-limb split must keep SIM/DEPLOY/static_p
+    bit-identical and still be a softmax."""
+
+    def test_wide_row_parity_and_value(self):
+        import math
+
+        rng = np.random.default_rng(11)
+        for n_row in (300, 577, 1024):
+            q = jnp.asarray(
+                rng.integers(-128, 128, (4, n_row)).astype(np.float32)
+            )
+            for scale in (1.0 / 320.0, 0.0099, 0.13):
+                ref, s = shiftmax(
+                    q, jnp.float32(scale), out_bits=16, interp=DEPLOY
+                )
+                sim, _ = shiftmax(
+                    q, jnp.float32(scale), out_bits=16, interp=SIM
+                )
+                fast, _ = shiftmax(
+                    q, jnp.float32(scale), out_bits=16, interp=DEPLOY,
+                    static_p=math.ceil(1.0 / scale),
+                )
+                np.testing.assert_array_equal(np.asarray(sim), np.asarray(ref))
+                np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+                probs = np.asarray(ref, np.float64) * float(s)
+                want = np.exp(np.asarray(q, np.float64) * scale)
+                want = want / want.sum(-1, keepdims=True)
+                assert np.abs(probs - want).max() < 0.03, (n_row, scale)
