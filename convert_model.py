@@ -30,6 +30,10 @@ def main(argv=None):
                         "(self-contained; loads with jax alone)")
     p.add_argument("--export-batch", default=1, type=int,
                    help="batch size the exported engine is built for")
+    p.add_argument("--softmax-bits", default=16, type=int, choices=(8, 16),
+                   help="ViT probability precision (must match training; "
+                        "recorded in the artifact and honored by the "
+                        "engine)")
     args = p.parse_args(argv)
 
     from ivit_tpu.deploy import freeze_vit
@@ -40,6 +44,8 @@ def main(argv=None):
     kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
     if args.model.startswith("swin"):
         kwargs["window_size"] = args.window_size
+    elif args.softmax_bits != 16:
+        kwargs["softmax_bits"] = args.softmax_bits
     model = create_model(args.model, **kwargs)
     # Only params + quant_stats are needed to freeze; the raw state-dict
     # avoids reconstructing the training-time optimizer pytree.

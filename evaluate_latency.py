@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--nb-classes", default=1000, type=int)
     p.add_argument("--repeat", default=100, type=int)
+    p.add_argument("--softmax-bits", default=16, type=int, choices=(8, 16),
+                   help="ViT probability precision for the random-init "
+                        "path (8 = the reference TVM deploy precision: "
+                        "int8 probs + pure int8 attn@V)")
     p.add_argument("--pallas-attention", default=None,
                    action=argparse.BooleanOptionalAction,
                    help="fully-fused int8 attention kernel. Default "
@@ -52,9 +56,10 @@ def main(argv=None):
     if args.artifact:
         artifact = load_artifact(args.artifact)
     else:
-        model = create_model(
-            args.model, num_classes=args.nb_classes, img_size=args.input_size
-        )
+        mk = dict(num_classes=args.nb_classes, img_size=args.input_size)
+        if not is_swin and args.softmax_bits != 16:
+            mk["softmax_bits"] = args.softmax_bits
+        model = create_model(args.model, **mk)
         sample = jnp.zeros((1, args.input_size, args.input_size, 3))
         variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
             jax.random.PRNGKey(0), sample

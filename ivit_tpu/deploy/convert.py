@@ -135,6 +135,10 @@ def freeze_vit(model, variables) -> dict:
             num_heads=model.num_heads,
             mlp_ratio=model.mlp_ratio,
             num_classes=model.num_classes,
+            # probability precision the model was simulated/trained at;
+            # the engine reproduces it (8 → int8 probs + pure int8 @V,
+            # the reference TVM deploy precision, layers.py:384-386)
+            softmax_bits=getattr(model, "softmax_bits", 16),
         )
     }
 

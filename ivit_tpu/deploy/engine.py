@@ -200,6 +200,24 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     D, H = cfg["embed_dim"], cfg["num_heads"]
     hd = D // H
     p = cfg["patch_size"]
+    # Probability precision, recorded at freeze time. 8 = the precision
+    # the reference's deployed TVM graph runs (int8 softmax + pure int8
+    # attn@V, /root/reference/TVM_benchmark/models/layers.py:384-386,
+    # quantized_vit.py:71-75 — the 3.72× headline was measured with
+    # this); 16 = its QAT spec. Both are sim↔deploy bit-exact here
+    # because the simulator runs the same out_bits (vit.softmax_bits).
+    sm_bits = int(cfg.get("softmax_bits", 16))
+    assert sm_bits in (8, 16), sm_bits
+    if sm_bits == 8:
+        # int8 probabilities make @V a single native int8 MXU dot: the
+        # base-256 split ("exact") and the f32-HIGH dot collapse to the
+        # same exact integer path, and the 16-bit-only perf knobs are
+        # inert.
+        attn_v_mode = "f32"
+        sm_int16 = False
+        # the standalone softmax kernel emits the base-256 (hi, lo)
+        # split for the 16-bit exact path — moot at 8 bits
+        p_softmax = False
     # f32 scalar: ratio arithmetic must match the simulator's f32 ops
     qk_scale = np.float32(float(hd) ** -0.5)
     interpret = pallas_interpret
@@ -237,7 +255,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # (vit_blocks.py:100-102) — all on-device.
         s_attn = (sa1 * sa1) * qk_scale
         ssm = _scale(blk["s_attn_sm_in"])
-        s_sm = np.float32(1.0 / 2.0**15)
+        s_sm = np.float32(1.0 / 2.0 ** (sm_bits - 1))
         sao = _scale(blk["s_attn_out"])
 
         if p_attn:
@@ -260,7 +278,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 scale=h_ssm,
                 r_out=float(s_ctx / h_sao),
                 n_valid=N,
-                out_bits=16,
+                out_bits=sm_bits,
                 interpret=interpret,
             )
             ctx = (
@@ -308,7 +326,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 scale=h_ssm,
                 r_out=float(s_ctx / h_sao),
                 n_valid=N,
-                out_bits=16,
+                out_bits=sm_bits,
                 interpret=interpret,
             )[:, :, :N]  # (B, H, N, hd) int8 — consumed layout-free
             return _attn_tail(x, s_x, blk, ctx)
@@ -364,7 +382,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 sm_int_lanes and not sm_split and 1 <= h_p <= 500
                 and a8.shape[-1] <= 256  # int twin's row-sum bound
             ):
-                sm, _ = shiftmax_int_deploy(a8, ssm, out_bits=16)
+                sm, _ = shiftmax_int_deploy(a8, ssm, out_bits=sm_bits)
             else:
                 # sm_split recomputes the exp instead of materializing
                 # it (value-identical; see ops/shiftmax.py
@@ -372,7 +390,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 # batch 128, kept selectable. static_p enables the
                 # value-identical guard elisions + int32 row sum.
                 sm, _ = shiftmax(
-                    a8, ssm, out_bits=16, interp=DEPLOY,
+                    a8, ssm, out_bits=sm_bits, interp=DEPLOY,
                     split_normalize=sm_split,
                     static_p=math.ceil(1.0 / float(blk["s_attn_sm_in"])),
                 )
@@ -391,7 +409,17 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # attn (B,H,N,K) @ v (B,K,H,hd): contract the token axis with
         # batch dims (0,1)/(0,2) → ctx (B,H,N,hd), no transposed copies.
         dn = (((3,), (1,)), ((0, 1), (0, 2)))
-        if attn_v_mode == "exact":
+        if sm_bits == 8:
+            # int8 probabilities ([0, 127]): @V is ONE native int8 MXU
+            # dot with exact int32 accumulation — the reference TVM
+            # graph's own deploy precision (quantized_vit.py:71-75).
+            # The probability tensor also materializes at 1 byte/elem.
+            sm8 = _mat(sm, jnp.int8)
+            ctx = jax.lax.dot_general(
+                sm8, vmm, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        elif attn_v_mode == "exact":
             # base-256 split → two int8 MXU matmuls + rank-1 correction,
             # exact in int32.
             ctx_hi = jax.lax.dot_general(

@@ -39,6 +39,10 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     remat: bool = False
+    # 16 = the reference's QAT spec; 8 = the precision its deployed TVM
+    # graph runs (int8 probabilities + pure int8 attn@V — see
+    # nn/vit_blocks.Attention.softmax_bits)
+    softmax_bits: int = 16
     interp: Interp = SIM
 
     @nn.compact
@@ -103,6 +107,7 @@ class VisionTransformer(nn.Module):
                 drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
                 drop_path_rate=dpr[i],
+                softmax_bits=self.softmax_bits,
                 interp=it,
                 name=f"blocks_{i}",
             )(x, train)  # positional: remat static_argnums counts args

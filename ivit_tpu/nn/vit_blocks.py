@@ -93,6 +93,15 @@ class Attention(nn.Module):
     qkv → qact → head split → int matmul(q,kᵀ) with the 1/√d factor folded
     into the *scale* (the integer values never change, vit_quant.py:72-73)
     → qact → Shiftmax(16) → int matmul(attn,v) → qact → proj → qact(16b).
+
+    ``softmax_bits``: probability precision. 16 is the reference's QAT
+    spec (vit_quant.py:54); 8 is the precision its deployed TVM graph
+    actually runs — probabilities cast to int8 and attn@V as a pure
+    int8 matmul (/root/reference/TVM_benchmark/models/layers.py:384-386,
+    quantized_vit.py:71-75) — which the paper's 3.72× was measured
+    with. At 8 the sim's attn@V drops to the exact 8×8 int dot
+    automatically (quant_matmul dispatch), matching the deploy engine's
+    single int8 MXU dot bit-for-bit.
     """
 
     dim: int
@@ -100,6 +109,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    softmax_bits: int = 16
     interp: Interp = SIM
 
     @nn.compact
@@ -122,7 +132,9 @@ class Attention(nn.Module):
         # Fold 1/sqrt(head_dim) into the scale only.
         attn = attn.replace(scale=attn.scale * (D ** -0.5))
         attn = QuantAct(8, interp=it, name="qact_attn1")(attn, update_stats=train)
-        attn = IntSoftmax(out_bits=16, interp=it, name="int_softmax")(attn)
+        attn = IntSoftmax(
+            out_bits=self.softmax_bits, interp=it, name="int_softmax"
+        )(attn)
         if train and self.attn_drop > 0.0:
             attn = quant_dropout(self, attn, self.attn_drop)
 
@@ -152,6 +164,7 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    softmax_bits: int = 16
     interp: Interp = SIM
 
     @nn.compact
@@ -166,6 +179,7 @@ class Block(nn.Module):
             qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            softmax_bits=self.softmax_bits,
             interp=it,
             name="attn",
         )(x, train=train)

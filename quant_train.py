@@ -111,6 +111,13 @@ def build_parser():
     p.add_argument("--window-size", type=int, default=7,
                    help="Swin window size (every stage resolution must "
                         "divide by it, as in the reference)")
+    p.add_argument("--softmax-bits", type=int, default=16,
+                   choices=(8, 16),
+                   help="ViT attention-probability precision: 16 = the "
+                        "reference's QAT spec; 8 = the precision its "
+                        "deployed TVM graph runs (int8 probs + pure "
+                        "int8 attn@V) — faster deploy, sim stays "
+                        "bit-exact with the engine either way")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from the "
                         "cluster env (the init_distributed_mode analogue, "
@@ -187,6 +194,8 @@ def main(argv=None):
     )
     if args.model.startswith("swin"):
         model_kwargs["window_size"] = args.window_size
+    elif args.softmax_bits != 16:
+        model_kwargs["softmax_bits"] = args.softmax_bits
     model = create_model(args.model, **model_kwargs)
 
     steps_per_epoch = max(1, len(train_loader))

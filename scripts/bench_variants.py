@@ -48,14 +48,28 @@ def time_fn(fn, x, iters=ITERS):
 
 
 def main():
+    import os
+
     names = sys.argv[1:] or ["default"]
-    model = create_model("deit_small")
+    mk = {}
+    if os.environ.get("IVIT_PROFILE_SM_BITS"):
+        mk["softmax_bits"] = int(os.environ["IVIT_PROFILE_SM_BITS"])
     rng = jax.random.PRNGKey(0)
-    sample = jax.random.normal(rng, (2, 224, 224, 3))
-    variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
-        jax.random.PRNGKey(1), sample
-    )
-    artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+    # freezing through the relay is minutes; cache the random-weight
+    # artifact on disk (latency is weight-agnostic)
+    cache = f"/tmp/ivit_bench_artifact_sm{mk.get('softmax_bits', 16)}.pkl"
+    import pickle
+
+    if os.path.exists(cache):
+        artifact = pickle.load(open(cache, "rb"))
+    else:
+        model = create_model("deit_small", **mk)
+        sample = jax.random.normal(rng, (2, 224, 224, 3))
+        variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
+            jax.random.PRNGKey(1), sample
+        )
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        pickle.dump(artifact, open(cache, "wb"))
     images = jax.random.normal(rng, (BATCH, 224, 224, 3))
     for name in names:
         fn = jax.jit(build_vit_infer(artifact, **VARIANTS[name]))

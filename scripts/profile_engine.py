@@ -27,7 +27,10 @@ def capture():
 
     name = _os.environ.get("IVIT_PROFILE_MODEL", "deit_small")
     is_swin = name.startswith("swin")
-    model = create_model(name)
+    mk = {}
+    if not is_swin and _os.environ.get("IVIT_PROFILE_SM_BITS"):
+        mk["softmax_bits"] = int(_os.environ["IVIT_PROFILE_SM_BITS"])
+    model = create_model(name, **mk)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))
     variables = jax.jit(lambda r, x: model.init(r, x, train=True))(

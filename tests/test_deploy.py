@@ -150,3 +150,72 @@ class TestEngineVariantMatrix:
                 build_vit_infer(artifact, use_pallas=False, **kw)(x)
             )
             np.testing.assert_array_equal(out, base, err_msg=str(kw))
+
+
+class TestSm8Mode:
+    """softmax_bits=8 — the reference TVM graph's own deploy precision
+    (int8 probabilities + pure int8 attn@V, layers.py:384-386,
+    quantized_vit.py:71-75). Sim and engine must agree within the mode
+    exactly as the 16-bit mode does."""
+
+    def _trained(self):
+        model = VisionTransformer(
+            img_size=16, patch_size=8, num_classes=8,
+            embed_dim=32, depth=2, num_heads=4, softmax_bits=8,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=True)
+        for i in range(3):
+            xi = jax.random.normal(jax.random.PRNGKey(10 + i), (4, 16, 16, 3))
+            _, upd = model.apply(
+                variables, xi, train=True, mutable=["quant_stats"]
+            )
+            variables = {"params": variables["params"], **upd}
+        return model, variables
+
+    def test_sim_deploy_parity_sm8(self):
+        model, variables = self._trained()
+        x = jax.random.normal(jax.random.PRNGKey(42), (4, 16, 16, 3))
+        sim_logits = np.asarray(model.apply(variables, x, train=False))
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        assert artifact["config"]["softmax_bits"] == 8
+        infer = jax.jit(build_vit_infer(artifact, use_pallas=False))
+        dep_logits = np.asarray(infer(x))
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(
+            dep_logits, sim_logits, atol=3 * head_scale, rtol=0
+        )
+        np.testing.assert_array_equal(
+            np.argmax(dep_logits, -1), np.argmax(sim_logits, -1)
+        )
+
+    def test_sm8_variants_bit_match_default(self):
+        """Every engine knob must stay value-identical under sm8 too."""
+        model, variables = self._trained()
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 3))
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        base = np.asarray(build_vit_infer(artifact, use_pallas=False)(x))
+        for kw in (
+            dict(sm_int_lanes=True),
+            dict(sm_split=True),
+            dict(proj_4d=True),
+            dict(res_split=True),
+            dict(attn_v_mode="exact"),  # collapses to the int8 dot
+            dict(sm_int16=True),        # inert at 8 bits
+        ):
+            out = np.asarray(
+                build_vit_infer(artifact, use_pallas=False, **kw)(x)
+            )
+            np.testing.assert_array_equal(out, base, err_msg=str(kw))
+
+    def test_sm16_default_unchanged(self):
+        """Legacy artifacts (no softmax_bits key) still run 16-bit."""
+        model, variables = trained_tiny()
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        assert artifact["config"]["softmax_bits"] == 16
+        del artifact["config"]["softmax_bits"]
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        out = np.asarray(build_vit_infer(artifact, use_pallas=False)(x))
+        sim = np.asarray(model.apply(variables, x, train=False))
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(out, sim, atol=3 * head_scale, rtol=0)
