@@ -48,7 +48,9 @@ class FloatSwinTransformer(nn.Module):
             )(x)
 
         def ln(x, name):
-            return nn.LayerNorm(epsilon=1e-6, dtype=dt, name=name,
+            # torch nn.LayerNorm default eps — the reference's float
+            # Swin path uses it unchanged (swin_quant.py:192 norm_layer)
+            return nn.LayerNorm(epsilon=1e-5, dtype=dt, name=name,
                                 use_fast_variance=False)(x)
 
         x = images.astype(dt)

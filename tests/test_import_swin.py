@@ -87,3 +87,141 @@ def test_swin_import_and_apply():
     )
     assert logits.shape == (2, 8)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def _torch_swin_forward(sd, x_nhwc, depths, heads, p, ws, eps=1e-5):
+    """Independent plain-torch Swin forward written directly from the
+    reference's structure (/root/reference/models/swin_quant.py:53-169
+    WindowAttention incl. relative-position gather, :248-300 shifted
+    block, :318-350 PatchMerging [x00,x10,x01,x11], :505-521 avgpool
+    head) — the float golden for the importer mapping. Any transposed
+    qkv, mis-gathered bias table, or wrong merge order diverges here."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.tensor(v) for k, v in sd.items()}
+    x = torch.tensor(x_nhwc).permute(0, 3, 1, 2)  # NCHW
+
+    def ln(v, pre):
+        return F.layer_norm(
+            v, (v.shape[-1],), t[f"{pre}.weight"], t[f"{pre}.bias"], eps
+        )
+
+    def win_part(g, ws):
+        B, H, W, C = g.shape
+        g = g.view(B, H // ws, ws, W // ws, ws, C)
+        return g.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+    def win_rev(wins, ws, H, W):
+        B = wins.shape[0] // (H // ws * (W // ws))
+        g = wins.view(B, H // ws, W // ws, ws, ws, -1)
+        return g.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+    def rel_index(ws):
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(ws), torch.arange(ws), indexing="ij"
+        ))
+        cf = torch.flatten(coords, 1)
+        rel = (cf[:, :, None] - cf[:, None, :]).permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += ws - 1
+        rel[:, :, 1] += ws - 1
+        rel[:, :, 0] *= 2 * ws - 1
+        return rel.sum(-1)
+
+    def attn_mask(res, ws, shift):
+        if shift == 0:
+            return None
+        img = torch.zeros((1, res, res, 1))
+        cnt = 0
+        for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                img[:, h, w, :] = cnt
+                cnt += 1
+        mw = win_part(img, ws).view(-1, ws * ws)
+        am = mw.unsqueeze(1) - mw.unsqueeze(2)
+        return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+    z = F.conv2d(x, t["patch_embed.proj.weight"],
+                 t["patch_embed.proj.bias"], stride=p)
+    B, D, G, _ = z.shape
+    z = z.flatten(2).transpose(1, 2)  # (B, G*G, D)
+    z = ln(z, "patch_embed.norm")
+
+    for i, depth in enumerate(depths):
+        dim = D * 2**i
+        res = G // 2**i
+        H = heads[i]
+        hd = dim // H
+        w = min(ws, res)
+        for j in range(depth):
+            pre = f"layers.{i}.blocks.{j}"
+            shift = 0 if (j % 2 == 0 or res <= ws) else ws // 2
+            y = ln(z, f"{pre}.norm1").view(B, res, res, dim)
+            if shift:
+                y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+            xw = win_part(y, w)
+            Bw, N, _ = xw.shape
+            qkv = xw @ t[f"{pre}.attn.qkv.weight"].T + t[f"{pre}.attn.qkv.bias"]
+            qkv = qkv.reshape(Bw, N, 3, H, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = (q @ k.transpose(-2, -1)) * hd**-0.5
+            tb = t[f"{pre}.attn.relative_position_bias_table"]
+            bias = tb[rel_index(w).view(-1)].view(N, N, H).permute(2, 0, 1)
+            a = a + bias.unsqueeze(0)
+            m = attn_mask(res, w, shift)
+            if m is not None:
+                nW = m.shape[0]
+                a = (a.view(Bw // nW, nW, H, N, N)
+                     + m.unsqueeze(1).unsqueeze(0)).view(Bw, H, N, N)
+            a = torch.softmax(a, -1)
+            ctx = (a @ v).transpose(1, 2).reshape(Bw, N, dim)
+            ctx = ctx @ t[f"{pre}.attn.proj.weight"].T + t[f"{pre}.attn.proj.bias"]
+            g = win_rev(ctx, w, res, res)
+            if shift:
+                g = torch.roll(g, (shift, shift), dims=(1, 2))
+            z = z + g.reshape(B, res * res, dim)
+            y = ln(z, f"{pre}.norm2")
+            y = F.gelu(y @ t[f"{pre}.mlp.fc1.weight"].T + t[f"{pre}.mlp.fc1.bias"])
+            z = z + y @ t[f"{pre}.mlp.fc2.weight"].T + t[f"{pre}.mlp.fc2.bias"]
+        if i < len(depths) - 1:
+            g = z.view(B, res, res, dim)
+            z = torch.cat([g[:, 0::2, 0::2], g[:, 1::2, 0::2],
+                           g[:, 0::2, 1::2], g[:, 1::2, 1::2]], -1)
+            z = z.view(B, -1, 4 * dim)
+            z = ln(z, f"layers.{i}.downsample.norm")
+            z = z @ t[f"layers.{i}.downsample.reduction.weight"].T
+    z = ln(z, "norm").mean(dim=1)
+    return (z @ t["head.weight"].T + t["head.bias"]).numpy()
+
+
+def test_float_swin_matches_torch_golden():
+    """VERDICT r2 #4: the Swin importer verified against an independent
+    plain-torch forward to the ViT golden's tolerance — a transposed
+    qkv or mis-gathered rel-pos table cannot import silently."""
+    import pytest
+
+    pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from ivit_tpu.models.swin_float import (
+        FloatSwinTransformer,
+        swin_quant_params_to_float,
+    )
+
+    D, depths, heads, p, ws, img = 16, (2, 2), (2, 4), 2, 4, 32
+    sd = fake_swin_sd(D=D, depths=depths, heads=heads, p=p, ws=ws)
+    sd = {k: (v * 0.2).astype(np.float32) for k, v in sd.items()}
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, img, img, 3)).astype(np.float32)
+
+    golden = _torch_swin_forward(sd, x, depths, heads, p, ws)
+
+    model = FloatSwinTransformer(
+        img_size=img, patch_size=p, num_classes=8, embed_dim=D,
+        depths=depths, num_heads=heads, window_size=ws,
+    )
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    loaded = swin_quant_params_to_float(torch_swin_to_params(sd))
+    params = merge_params(init["params"], loaded)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, golden, rtol=2e-4, atol=2e-4)
