@@ -127,6 +127,39 @@ class TestMesh:
         cls = shardings["cls_token"]
         assert cls.spec == jax.sharding.PartitionSpec()
 
+    def test_dp_equivalence_vs_single_device(self):
+        """VERDICT r2 #6a: the 8-way DP mesh step must compute the SAME
+        optimization step as single-device execution — same loss, same
+        updated parameters — up to f32 gradient-reduction order."""
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (16, 16, 16, 3))
+        targets = jax.nn.one_hot(jax.random.randint(rng, (16,), 0, 8), 8)
+        tx = optax.adamw(1e-3)
+        state = create_train_state(model, rng, images[:1], tx)
+        step = jax.jit(make_train_step(model))
+        srng = jax.random.PRNGKey(7)
+
+        s_single, m_single = step(state, images, targets, srng)
+
+        mesh = make_mesh(data=8, model=1)
+        s_mesh, m_mesh = step(
+            jax.device_put(state, param_shardings(state, mesh)),
+            jax.device_put(images, data_sharding(mesh)),
+            jax.device_put(targets, data_sharding(mesh)),
+            srng,
+        )
+        np.testing.assert_allclose(
+            float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5
+        )
+        assert float(m_mesh["acc1"]) == float(m_single["acc1"])
+        for a, b in zip(
+            jax.tree.leaves(s_single.params), jax.tree.leaves(s_mesh.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
     @pytest.mark.slow
     def test_graft_entry_dryrun(self):
         from __graft_entry__ import dryrun_multichip
