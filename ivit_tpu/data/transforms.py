@@ -21,10 +21,39 @@ _BICUBIC = Image.BICUBIC
 
 
 # ---------------------------------------------------------------- RandAugment
-# timm policy 'rand-m9-mstd0.5-inc1': 2 ops/image, magnitude ~N(9, 0.5·?)
-# with 'inc1' increasing-with-magnitude severity mappings, max level 10.
+# timm policy 'rand-m9-mstd0.5-inc1' (the exact string the reference
+# pins, quant_train.py:105-122), audited op-for-op against timm
+# auto_augment.py (round-3 VERDICT item #7):
+#
+# | timm (rand-…-inc1)       | here              | arg mapping (level L/10) |
+# |--------------------------|-------------------|--------------------------|
+# | 2 layers, uniform choice | rand_augment      | same                     |
+# | per-op apply prob 0.5    | rand_augment      | same (rand_augment_ops   |
+# |                          |                   | builds AugmentOp p=0.5)  |
+# | mag ~ gauss(9, .5)→[0,10]| rand_augment      | same                     |
+# | AutoContrast/Equalize/   | _op_*             | parameterless            |
+# |   Invert                 |                   |                          |
+# | Rotate                   | _op_rotate        | ±30·L, img_mean fill     |
+# | PosterizeIncreasing      | _op_posterize     | keep 4−int(4·L) bits     |
+# | SolarizeIncreasing       | _op_solarize      | thresh 256−int(256·L)    |
+# | SolarizeAdd              | _op_solarize_add  | +int(110·L) below 128    |
+# | Color/Contrast/Bright/   | _op_color etc.    | factor 1±0.9·L (timm's   |
+# |   SharpnessIncreasing    |                   | 0.1 floor never binds)   |
+# | ShearX/Y                 | _op_shear_*       | ±0.3·L, img_mean fill    |
+# | TranslateX/YRel          | _op_translate_*   | ±0.45·L·dim, img_mean    |
+# | interpolation            | BICUBIC           | reference passes         |
+# |                          |                   | 'bicubic' (not 'random') |
+#
+# Known 1-px-class deltas (documented, not chased): PIL affine is used
+# directly instead of torchvision's matrix composition, and python-rng
+# draws replace random.gauss/choice, so individual augmented images are
+# not byte-identical to timm — the op set, probabilities, magnitudes,
+# fill and interpolation semantics are.
 
 _MAX_LEVEL = 10.0
+# timm aa_params img_mean fill for geometric ops:
+# tuple(min(255, round(255·x)) for x in IMAGENET_MEAN) = (124, 116, 104)
+_FILL = (124, 116, 104)
 
 
 def _enhance_factor(level):
@@ -45,7 +74,8 @@ def _maybe_neg(v, rng):
 
 
 def _affine(img, matrix):
-    return img.transform(img.size, Image.AFFINE, matrix, resample=_BICUBIC)
+    return img.transform(img.size, Image.AFFINE, matrix, resample=_BICUBIC,
+                         fillcolor=_FILL)
 
 
 def _op_autocontrast(img, level, rng):
@@ -62,13 +92,15 @@ def _op_invert(img, level, rng):
 
 def _op_rotate(img, level, rng):
     deg = _maybe_neg((level / _MAX_LEVEL) * 30.0, rng)
-    return img.rotate(deg, resample=_BICUBIC)
+    return img.rotate(deg, resample=_BICUBIC, fillcolor=_FILL)
 
 
 def _op_posterize(img, level, rng):
-    # inc: more bits removed at higher level, floor of 4 kept low levels
-    bits = 8 - int((level / _MAX_LEVEL) * 4)
-    return ImageOps.posterize(img, max(4, bits) if level < 5 else max(1, bits))
+    # timm PosterizeIncreasing: keep 4 − int(4·L/10) MSBs (range 4→0;
+    # severe at high magnitude — 1 bit at m9, the recipe's operating
+    # point). bits ≥ 8 would be the identity guard; unreachable here.
+    bits = 4 - int((level / _MAX_LEVEL) * 4)
+    return ImageOps.posterize(img, bits)
 
 
 def _op_solarize(img, level, rng):
@@ -142,9 +174,17 @@ _RAND_OPS = [
 ]
 
 
-def rand_augment(img, rng, num_ops=2, magnitude=9.0, mag_std=0.5):
+def rand_augment(img, rng, num_ops=2, magnitude=9.0, mag_std=0.5,
+                 op_prob=0.5):
+    """timm RandAugment: ``num_ops`` uniformly-chosen ops, each APPLIED
+    with probability ``op_prob`` (timm's rand_augment_ops constructs
+    every AugmentOp with prob=0.5 — in expectation only one of the two
+    chosen ops fires), magnitude ~ N(m, mstd) clipped to [0, 10] drawn
+    per op."""
     for _ in range(num_ops):
         op = _RAND_OPS[rng.integers(len(_RAND_OPS))]
+        if rng.random() > op_prob:
+            continue
         level = np.clip(rng.normal(magnitude, mag_std), 0, _MAX_LEVEL)
         img = op(img, level, rng)
     return img
@@ -166,10 +206,17 @@ def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0), ratio=(3 / 4, 4 /
             x0 = rng.integers(0, w - cw + 1)
             y0 = rng.integers(0, h - ch + 1)
             return img.resize((size, size), _BICUBIC, box=(x0, y0, x0 + cw, y0 + ch))
-    # fallback: center crop
-    s = min(w, h)
-    x0, y0 = (w - s) // 2, (h - s) // 2
-    return img.resize((size, size), _BICUBIC, box=(x0, y0, x0 + s, y0 + s))
+    # fallback after 10 attempts — torchvision semantics: whole image,
+    # center-cropped only as far as the ratio bounds require
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    x0, y0 = (w - cw) // 2, (h - ch) // 2
+    return img.resize((size, size), _BICUBIC, box=(x0, y0, x0 + cw, y0 + ch))
 
 
 def color_jitter(img, rng, strength=0.4):

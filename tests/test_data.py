@@ -55,6 +55,47 @@ class TestTransforms:
         b = train_transform(_img(), np.random.default_rng(7), size=64)
         np.testing.assert_array_equal(a, b)
 
+    def test_posterize_increasing_severity(self):
+        """timm PosterizeIncreasing keeps 4−int(4·L/10) bits — ONE bit
+        at the recipe's m9 operating point (round-3 audit fix; the old
+        mapping kept 5 bits, far milder than the recipe trains with)."""
+        from ivit_tpu.data.transforms import _op_posterize
+
+        img = _img(32, 32)
+        rng = np.random.default_rng(0)
+        out9 = np.asarray(_op_posterize(img, 9.0, rng))
+        assert set(np.unique(out9)) <= {0, 128}  # 1 bit kept
+        out1 = np.asarray(_op_posterize(img, 1.0, rng))
+        assert (out1 % 16 == 0).all()  # 4 bits kept at low level
+
+    def test_rand_augment_per_op_probability(self):
+        """timm applies each chosen op with prob 0.5 (rand_augment_ops
+        builds every AugmentOp with prob=0.5): a meaningful fraction of
+        images must pass through IDENTICALLY (both ops skipped)."""
+        img = _img(48, 48)
+        base = np.asarray(img)
+        rng = np.random.default_rng(2)
+        untouched = sum(
+            np.array_equal(np.asarray(rand_augment(img, rng)), base)
+            for _ in range(300)
+        )
+        # P(identity) >= P(both skipped) = 0.25; binomial(300, .25)
+        # stays within [45, 160] at astronomical confidence
+        assert 45 <= untouched <= 160, untouched
+
+    def test_geometric_ops_fill_img_mean(self):
+        """Rotate/shear/translate fill exposed area with timm's img_mean
+        (124,116,104), not black."""
+        from ivit_tpu.data.transforms import _op_rotate, _op_translate_x
+
+        img = Image.fromarray(np.full((40, 40, 3), 255, np.uint8))
+        rot = np.asarray(_op_rotate(img, 10.0, np.random.default_rng(0)))
+        corners = rot[[0, 0, -1, -1], [0, -1, 0, -1]]
+        assert (np.abs(corners.astype(int) - [124, 116, 104]) <= 1).all()
+        tr = np.asarray(_op_translate_x(img, 10.0, np.random.default_rng(1)))
+        edge = tr[:, 0] if tr[0, 0, 0] != 255 else tr[:, -1]
+        assert (np.abs(edge.astype(int) - [124, 116, 104]) <= 1).all()
+
 
 class TestSamplers:
     def test_shuffle_sampler_partition(self):
