@@ -34,6 +34,9 @@ def main(argv=None):
                    help="ViT probability precision (must match training; "
                         "recorded in the artifact and honored by the "
                         "engine)")
+    p.add_argument("--gelu-stable", action="store_true",
+                   help="elementwise-stable ShiftGELU (must match "
+                        "training; recorded in the artifact)")
     args = p.parse_args(argv)
 
     from ivit_tpu.deploy import freeze_vit
@@ -44,8 +47,11 @@ def main(argv=None):
     kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
     if args.model.startswith("swin"):
         kwargs["window_size"] = args.window_size
-    elif args.softmax_bits != 16:
-        kwargs["softmax_bits"] = args.softmax_bits
+    else:
+        if args.softmax_bits != 16:
+            kwargs["softmax_bits"] = args.softmax_bits
+        if args.gelu_stable:
+            kwargs["gelu_stable"] = True
     model = create_model(args.model, **kwargs)
     # Only params + quant_stats are needed to freeze; the raw state-dict
     # avoids reconstructing the training-time optimizer pytree.

@@ -30,6 +30,9 @@ def main(argv=None):
                    help="ViT probability precision for the random-init "
                         "path (8 = the reference TVM deploy precision: "
                         "int8 probs + pure int8 attn@V)")
+    p.add_argument("--gelu-stable", action="store_true",
+                   help="elementwise-stable ShiftGELU for the "
+                        "random-init path")
     p.add_argument("--pallas-attention", default=None,
                    action=argparse.BooleanOptionalAction,
                    help="fully-fused int8 attention kernel. Default "
@@ -57,8 +60,11 @@ def main(argv=None):
         artifact = load_artifact(args.artifact)
     else:
         mk = dict(num_classes=args.nb_classes, img_size=args.input_size)
-        if not is_swin and args.softmax_bits != 16:
-            mk["softmax_bits"] = args.softmax_bits
+        if not is_swin:
+            if args.softmax_bits != 16:
+                mk["softmax_bits"] = args.softmax_bits
+            if args.gelu_stable:
+                mk["gelu_stable"] = True
         model = create_model(args.model, **mk)
         sample = jnp.zeros((1, args.input_size, args.input_size, 3))
         variables = jax.jit(lambda r, x: model.init(r, x, train=True))(

@@ -139,6 +139,9 @@ def freeze_vit(model, variables) -> dict:
             # the engine reproduces it (8 → int8 probs + pure int8 @V,
             # the reference TVM deploy precision, layers.py:384-386)
             softmax_bits=getattr(model, "softmax_bits", 16),
+            # GELU formulation (ops/shiftgelu.shiftgelu stable=) — the
+            # engine must run the same mode the model simulated
+            gelu_stable=getattr(model, "gelu_stable", False),
         )
     }
 

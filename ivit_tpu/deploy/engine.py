@@ -218,6 +218,13 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         # the standalone softmax kernel emits the base-256 (hi, lo)
         # split for the 16-bit exact path — moot at 8 bits
         p_softmax = False
+    # GELU formulation, recorded at freeze time (a model property —
+    # SIM and the engine must run the same mode; see ops/shiftgelu).
+    gelu_stable = bool(cfg.get("gelu_stable", False))
+    if gelu_stable:
+        # the Pallas GELU kernels implement the rowmax spec only
+        p_gelu = False
+        p_lingelu = False
     # f32 scalar: ratio arithmetic must match the simulator's f32 ops
     qk_scale = np.float32(float(hd) ** -0.5)
     interpret = pallas_interpret
@@ -572,6 +579,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 static_p=math.ceil(
                     1.0 / (1.702 * float(blk["s_gelu_in"]))
                 ),
+                stable=gelu_stable,
             )
             g8 = rq(g, s_g / sg_out, *_INT8, jnp.int8)
 

@@ -43,6 +43,10 @@ class VisionTransformer(nn.Module):
     # graph runs (int8 probabilities + pure int8 attn@V — see
     # nn/vit_blocks.Attention.softmax_bits)
     softmax_bits: int = 16
+    # elementwise-stable ShiftGELU (ops/shiftgelu): value-different
+    # from the reference's row-max spec, so it must match at training
+    # and deploy time — recorded in the frozen artifact
+    gelu_stable: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -108,6 +112,7 @@ class VisionTransformer(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path_rate=dpr[i],
                 softmax_bits=self.softmax_bits,
+                gelu_stable=self.gelu_stable,
                 interp=it,
                 name=f"blocks_{i}",
             )(x, train)  # positional: remat static_argnums counts args

@@ -433,13 +433,17 @@ class IntLayerNorm(nn.Module):
 
 
 class IntGELU(nn.Module):
-    """ShiftGELU module (quant_modules.py:389-445)."""
+    """ShiftGELU module (quant_modules.py:389-445). ``stable`` selects
+    the elementwise-stable formulation (see ops/shiftgelu.shiftgelu) —
+    a model property recorded at freeze time."""
 
     out_bits: int = 8
+    stable: bool = False
     interp: Interp = SIM
 
     def __call__(self, x: QTensor) -> QTensor:
-        q, s = shiftgelu(x.q, x.scale, out_bits=self.out_bits, interp=self.interp)
+        q, s = shiftgelu(x.q, x.scale, out_bits=self.out_bits,
+                         interp=self.interp, stable=self.stable)
         return QTensor(q=q, scale=s, bits=32)
 
 

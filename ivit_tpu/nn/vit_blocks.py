@@ -66,6 +66,7 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     drop: float = 0.0
+    gelu_stable: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -73,7 +74,8 @@ class Mlp(nn.Module):
         it = self.interp
         x = QuantLinear(self.hidden_features, interp=it, name="fc1")(x)
         x = QuantAct(8, interp=it, name="qact_gelu")(x, update_stats=train)
-        x = IntGELU(out_bits=8, interp=it, name="act")(x)
+        x = IntGELU(out_bits=8, stable=self.gelu_stable, interp=it,
+                    name="act")(x)
         x = QuantAct(8, interp=it, name="qact1")(x, update_stats=train)
         if train and self.drop > 0.0:
             x = quant_dropout(self, x, self.drop)
@@ -165,6 +167,7 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     softmax_bits: int = 16
+    gelu_stable: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -197,6 +200,7 @@ class Block(nn.Module):
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
             drop=self.drop,
+            gelu_stable=self.gelu_stable,
             interp=it,
             name="mlp",
         )(y, train=train)

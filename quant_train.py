@@ -118,6 +118,12 @@ def build_parser():
                         "deployed TVM graph runs (int8 probs + pure "
                         "int8 attn@V) — faster deploy, sim stays "
                         "bit-exact with the engine either way")
+    p.add_argument("--gelu-stable", action="store_true",
+                   help="elementwise-stable ShiftGELU (no row-max "
+                        "reduce; one exp chain per element). Value-"
+                        "different from the reference's spec, equally "
+                        "or more accurate; recorded in the artifact so "
+                        "deploy runs the same formulation")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from the "
                         "cluster env (the init_distributed_mode analogue, "
@@ -194,8 +200,11 @@ def main(argv=None):
     )
     if args.model.startswith("swin"):
         model_kwargs["window_size"] = args.window_size
-    elif args.softmax_bits != 16:
-        model_kwargs["softmax_bits"] = args.softmax_bits
+    else:
+        if args.softmax_bits != 16:
+            model_kwargs["softmax_bits"] = args.softmax_bits
+        if args.gelu_stable:
+            model_kwargs["gelu_stable"] = True
     model = create_model(args.model, **model_kwargs)
 
     steps_per_epoch = max(1, len(train_loader))

@@ -219,3 +219,58 @@ class TestSm8Mode:
         sim = np.asarray(model.apply(variables, x, train=False))
         head_scale = float(np.max(artifact["head"]["out_scale"]))
         np.testing.assert_allclose(out, sim, atol=3 * head_scale, rtol=0)
+
+
+class TestGeluStable:
+    """gelu_stable=True — the elementwise-stable ShiftGELU (one exp
+    chain per element, no row reduce; ops/shiftgelu). A recorded model
+    property: sim and engine must agree within the mode exactly as the
+    reference-spec mode does."""
+
+    def _trained(self):
+        model = VisionTransformer(
+            img_size=16, patch_size=8, num_classes=8,
+            embed_dim=32, depth=2, num_heads=4, gelu_stable=True,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=True)
+        for i in range(3):
+            xi = jax.random.normal(jax.random.PRNGKey(30 + i), (4, 16, 16, 3))
+            _, upd = model.apply(
+                variables, xi, train=True, mutable=["quant_stats"]
+            )
+            variables = {"params": variables["params"], **upd}
+        return model, variables
+
+    def test_sim_deploy_parity_gelu_stable(self):
+        model, variables = self._trained()
+        x = jax.random.normal(jax.random.PRNGKey(42), (4, 16, 16, 3))
+        sim_logits = np.asarray(model.apply(variables, x, train=False))
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        assert artifact["config"]["gelu_stable"] is True
+        dep_logits = np.asarray(
+            jax.jit(build_vit_infer(artifact, use_pallas=False))(x)
+        )
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(
+            dep_logits, sim_logits, atol=3 * head_scale, rtol=0
+        )
+        np.testing.assert_array_equal(
+            np.argmax(dep_logits, -1), np.argmax(sim_logits, -1)
+        )
+
+    def test_gelu_stable_variants_bit_match_default(self):
+        model, variables = self._trained()
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 3))
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        base = np.asarray(build_vit_infer(artifact, use_pallas=False)(x))
+        for kw in (
+            dict(sm_int_lanes=True),
+            dict(sm_split=True),
+            dict(res_split=True),
+            dict(attn_v_mode="exact"),
+        ):
+            out = np.asarray(
+                build_vit_infer(artifact, use_pallas=False, **kw)(x)
+            )
+            np.testing.assert_array_equal(out, base, err_msg=str(kw))

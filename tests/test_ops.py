@@ -437,3 +437,62 @@ class TestShiftmaxWideRows:
                 want = np.exp(np.asarray(q, np.float64) * scale)
                 want = want / want.sum(-1, keepdims=True)
                 assert np.abs(probs - want).max() < 0.03, (n_row, scale)
+
+
+class TestShiftGeluStable:
+    """Elementwise-stable ShiftGELU (ops/shiftgelu stable=True)."""
+
+    def test_sim_deploy_and_elision_identical(self):
+        rng = np.random.default_rng(0)
+        q = rng.integers(-128, 128, (64, 96)).astype(np.float32)
+        for s in (2.0**-4, 0.0308, 0.09):
+            p = int(np.ceil(1.0 / (1.702 * s)))
+            a, _ = shiftgelu(jnp.asarray(q), jnp.float32(s),
+                             interp=DEPLOY, stable=True)
+            b, _ = shiftgelu(jnp.asarray(q), jnp.float32(s),
+                             interp=SIM, stable=True)
+            c, _ = shiftgelu(jnp.asarray(q), jnp.float32(s),
+                             interp=DEPLOY, stable=True, static_p=p)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    def test_all_negative_rows(self):
+        """Both exponents are <= 0 by construction — the rowmax form's
+        all-negative-row saturation hazard cannot occur."""
+        rng = np.random.default_rng(1)
+        q = -rng.integers(40, 128, (8, 32)).astype(np.float32)
+        s = 2.0**-4
+        p = int(np.ceil(1.0 / (1.702 * s)))
+        a, _ = shiftgelu(jnp.asarray(q), jnp.float32(s), interp=DEPLOY,
+                         stable=True, static_p=p)
+        b, _ = shiftgelu(jnp.asarray(q), jnp.float32(s), interp=SIM,
+                         stable=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_float_proximity_beats_rowmax(self):
+        """The per-element reference point keeps the approximation at
+        least as tight as the row-max form at every tested scale (and
+        strictly tighter at coarse scales, where row-max degrades)."""
+        rng = np.random.default_rng(2)
+        q = rng.integers(-128, 128, (64, 96)).astype(np.float32)
+        for s in (2.0**-4, 0.0308, 0.09):
+            x = q * s
+            ref = x / (1.0 + np.exp(-1.702 * x))
+            st, ss = shiftgelu(jnp.asarray(q), jnp.float32(s),
+                               interp=DEPLOY, stable=True)
+            rm, sr = shiftgelu(jnp.asarray(q), jnp.float32(s),
+                               interp=DEPLOY, stable=False)
+            err_st = np.abs(np.asarray(st) * float(ss) - ref).max()
+            err_rm = np.abs(np.asarray(rm) * float(sr) - ref).max()
+            assert err_st <= err_rm + 1e-6, (s, err_st, err_rm)
+            assert err_st < 0.25, (s, err_st)
+
+    def test_gradients_flow(self):
+        q = jnp.asarray(
+            np.random.default_rng(3).integers(-128, 128, (16, 32)),
+            jnp.float32,
+        )
+        g = jax.grad(lambda x: jnp.sum(
+            shiftgelu(x, jnp.float32(0.03), interp=SIM, stable=True)[0]
+        ))(q)
+        assert np.isfinite(np.asarray(g)).all()
