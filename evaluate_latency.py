@@ -84,7 +84,9 @@ def main(argv=None):
         # latency, XLA's batched matmuls win large-batch throughput
         use_fused_attn = args.batch_size <= 8
     kwargs = {}
-    if use_fused_attn and not is_swin and jax.default_backend() != "cpu":
+    if use_fused_attn and jax.default_backend() != "cpu":
+        # both families have a fused attention kernel: per (batch·head)
+        # for ViT, per (window·head) for Swin (kernels/)
         kwargs = dict(use_pallas=True, pallas_ops=("attention",))
         print("engine: fused int8 attention (batch-1 latency regime)")
     # AOT compile (the relay.build analogue).

@@ -27,9 +27,11 @@ from .engine import (
     _layernorm_requant,
     _linear,
     _mat,
+    _pad_axis,
     _requant,
     _scale,
 )
+from ..kernels.window_attention_fused import fused_int8_window_attention
 
 
 @jax.jit
@@ -172,12 +174,40 @@ def freeze_swin(model, variables) -> dict:
     return a
 
 
+def _proj_out(c8, blk, H, hd, C):
+    """Attention projection on the head-batched (Bw, H, N, hd) int8
+    context: contract (H, hd) with the weight reshaped (H, hd, C) — row
+    h·hd+d matches the simulator's head-merge reshape."""
+    w = jnp.asarray(blk["proj"]["w"]).reshape(H, hd, C)
+    acc = jax.lax.dot_general(
+        c8, w,
+        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if "b" in blk["proj"]:
+        acc = acc + jnp.asarray(blk["proj"]["b"])
+    sap = _scale(blk["s_attn_proj"])
+    out = _requant(
+        acc, _scale(blk["proj"]["out_scale"]) / sap, *_INT16, jnp.float32
+    )
+    return out, sap
+
+
 def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                      pallas_interpret: bool = False,
-                     sm_int_lanes: bool = False):
-    """Jittable int8 Swin inference: float NHWC images → logits."""
+                     sm_int_lanes: bool = False,
+                     pallas_ops: tuple = ()):
+    """Jittable int8 Swin inference: float NHWC images → logits.
+
+    ``pallas_ops=("attention",)`` fuses the whole window-attention tail
+    (q@kᵀ → requant → bias merge → mask → 8-bit Shiftmax → int8 @V →
+    requant) into one kernel per (window, head) — the (N, N) score
+    tensor never reaches HBM. Batch-1 latency candidate (the regime
+    where the ViT fused kernel wins); bit-identical to the XLA path in
+    interpret mode (tests/test_swin_deploy.py)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    p_attn = use_pallas and "attention" in pallas_ops
     cfg = artifact["config"]
     p = cfg["patch_size"]
     interpret = pallas_interpret
@@ -201,6 +231,43 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         q = z[..., :C].reshape(Bw, N, H, hd)
         k = z[..., C:2 * C].reshape(Bw, N, H, hd)
         v = z[..., 2 * C:].reshape(Bw, N, H, hd)
+
+        if p_attn:
+            # fully-fused window attention: one kernel per
+            # (window, head); scores never reach HBM. Kernel parameters
+            # are compile-time host floats (the ViT p_attn pattern).
+            h_sa1 = float(blk["s_attn_qact1"])
+            h_sattn = np.float32(h_sa1 * h_sa1) * np.float32(
+                float(hd) ** -0.5
+            )
+            h_s1 = float(blk["s_attn1"])
+            h_sb = float(blk["s_bias"])
+            h_so = float(blk["s_attn_out"])
+            s_ctx = np.float32(1.0 / 2.0**7) * np.float32(h_sa1)
+            Npad = -(-N // 128) * 128
+            G = Bw * H
+            qp = _pad_axis(q.transpose(0, 2, 1, 3), 2, Npad).reshape(G, Npad, hd)
+            kp = _pad_axis(k.transpose(0, 2, 1, 3), 2, Npad).reshape(G, Npad, hd)
+            vp = _pad_axis(v.transpose(0, 2, 1, 3), 2, Npad).reshape(G, Npad, hd)
+            bias_pad = np.zeros((H, Npad, Npad), np.float32)
+            bias_pad[:, :N, :N] = np.asarray(blk["bias_req"], np.float32)
+            mask_pad = None
+            if blk["mask_int"] is not None:
+                m = np.asarray(blk["mask_int"], np.float32)
+                mask_pad = np.zeros((m.shape[0], Npad, Npad), np.float32)
+                mask_pad[:, :N, :N] = m
+                mask_pad = jnp.asarray(mask_pad)
+            c8 = fused_int8_window_attention(
+                qp, kp, vp, jnp.asarray(bias_pad), mask_pad,
+                r1=float(h_sattn / h_s1),
+                rb=float(np.float32(h_s1) / np.float32(h_sb)),
+                scale=h_sb,
+                r_out=float(s_ctx / np.float32(h_so)),
+                n_valid=N,
+                heads=H,
+                interpret=interpret,
+            ).reshape(Bw, H, Npad, hd)[:, :, :N]
+            return _proj_out(c8, blk, H, hd, C)
 
         attn = jax.lax.dot_general(
             q, k,
@@ -261,22 +328,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
 
         so = _scale(blk["s_attn_out"])
         c8 = _mat(_requant(ctx, s_ctx / so, *_INT8, jnp.int8), jnp.int8)
-        # proj consumes the head-batched (Bw, H, N, hd) context directly:
-        # contract (H, hd) with the weight reshaped (H, hd, C) — row
-        # h·hd+d matches the simulator's head-merge reshape.
-        w = jnp.asarray(blk["proj"]["w"]).reshape(H, hd, C)
-        acc = jax.lax.dot_general(
-            c8, w,
-            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        if "b" in blk["proj"]:
-            acc = acc + jnp.asarray(blk["proj"]["b"])
-        sap = _scale(blk["s_attn_proj"])
-        out = _requant(
-            acc, _scale(blk["proj"]["out_scale"]) / sap, *_INT16, jnp.float32
-        )
-        return out, sap
+        return _proj_out(c8, blk, H, hd, C)
 
     def _block(x, s_x, blk):
         B, L, C = x.shape

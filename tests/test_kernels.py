@@ -132,3 +132,78 @@ class TestLinearGeluKernel:
         )
         ref = _requant_ref(np.asarray(g), r2, -128, 127)
         np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
+
+
+class TestWindowAttentionKernel:
+    def _reference(self, q, k, v, bias, mask, r1, rb, scale, r_out,
+                   heads, n_w, n_valid):
+        """XLA oracle: deploy/swin_engine._attention's exact op chain on
+        the (G, N, hd) cell layout."""
+        G, N, hd = q.shape
+        attn = np.einsum(
+            "gnd,gmd->gnm", q.astype(np.int64), k.astype(np.int64)
+        ).astype(np.float32)
+        a8 = np.clip(np.round(attn * np.float32(r1)), -128, 127)
+        z = np.clip(
+            np.round(a8 * np.float32(rb))
+            + bias[np.arange(G) % heads], -128, 127,
+        )
+        if mask is not None:
+            z = z + mask[(np.arange(G) // heads) % n_w]
+        sm, _ = shiftmax(
+            jnp.asarray(z), jnp.float32(scale), out_bits=8, interp=DEPLOY,
+            mask=None,
+        )
+        sm = np.asarray(sm)
+        ctx = np.einsum(
+            "gnm,gmd->gnd", sm.astype(np.int64), v.astype(np.int64)
+        ).astype(np.float32)
+        return np.clip(np.round(ctx * np.float32(r_out)), -128, 127)
+
+    def _run(self, masked):
+        from ivit_tpu.kernels.window_attention_fused import (
+            fused_int8_window_attention,
+        )
+
+        B, n_w, heads, N, hd, Npad = 2, 4, 2, 49, 32, 128
+        G = B * n_w * heads
+        rng = np.random.default_rng(5 if masked else 6)
+        q = rng.integers(-128, 128, (G, Npad, hd)).astype(np.int8)
+        k = rng.integers(-128, 128, (G, Npad, hd)).astype(np.int8)
+        v = rng.integers(-128, 128, (G, Npad, hd)).astype(np.int8)
+        # zero the padded token rows the way the engine feeds them
+        q[:, N:] = 0
+        k[:, N:] = 0
+        v[:, N:] = 0
+        bias = np.zeros((heads, Npad, Npad), np.float32)
+        bias[:, :N, :N] = rng.integers(-30, 31, (heads, N, N))
+        scale = 0.0308
+        mask = None
+        if masked:
+            mask = np.zeros((n_w, Npad, Npad), np.float32)
+            block = rng.random((n_w, N, N)) < 0.3
+            mask[:, :N, :N] = np.where(block, -100.0 / scale, 0.0)
+        r1, rb, r_out = 1.3e-4, 0.43, 0.0021
+
+        out = fused_int8_window_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bias),
+            None if mask is None else jnp.asarray(mask),
+            r1=r1, rb=rb, scale=scale, r_out=r_out,
+            n_valid=N, heads=heads, interpret=True,
+        )
+        ref = self._reference(
+            q[:, :N].astype(np.int32), k[:, :N].astype(np.int32),
+            v[:, :N].astype(np.int32), bias[:, :N, :N],
+            None if mask is None else mask[:, :N, :N],
+            r1, rb, scale, r_out, heads, n_w, N,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32)[:, :N], ref
+        )
+
+    def test_bit_exact_unmasked(self):
+        self._run(masked=False)
+
+    def test_bit_exact_masked(self):
+        self._run(masked=True)

@@ -56,3 +56,19 @@ class TestSwinDeploy:
             if b["shift"] > 0
         ]
         assert all(masked)
+
+
+class TestSwinPallasAttention:
+    @pytest.mark.slow
+    def test_fused_window_attention_bit_matches_pure(self):
+        """pallas_ops=("attention",) ≡ the pure-XLA engine, interpret
+        mode — covers masked (shifted) AND unmasked window blocks."""
+        model, variables = trained_tiny_swin()
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3))
+        artifact = freeze_swin(model, jax.tree.map(np.asarray, variables))
+        pure = np.asarray(build_swin_infer(artifact, use_pallas=False)(x))
+        fused = np.asarray(build_swin_infer(
+            artifact, use_pallas=True, pallas_interpret=True,
+            pallas_ops=("attention",),
+        )(x))
+        np.testing.assert_array_equal(fused, pure)
