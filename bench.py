@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ivit_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 from ivit_tpu.deploy import build_vit_infer, freeze_vit
 from ivit_tpu.models import create_model
 

@@ -39,6 +39,10 @@ def main(argv=None):
                         "training; recorded in the artifact)")
     args = p.parse_args(argv)
 
+    from ivit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from ivit_tpu.deploy import freeze_vit
     from ivit_tpu.deploy.swin_engine import freeze_swin
     from ivit_tpu.models import create_model
@@ -47,11 +51,10 @@ def main(argv=None):
     kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
     if args.model.startswith("swin"):
         kwargs["window_size"] = args.window_size
-    else:
-        if args.softmax_bits != 16:
-            kwargs["softmax_bits"] = args.softmax_bits
-        if args.gelu_stable:
-            kwargs["gelu_stable"] = True
+    elif args.softmax_bits != 16:
+        kwargs["softmax_bits"] = args.softmax_bits
+    if args.gelu_stable:
+        kwargs["gelu_stable"] = True
     model = create_model(args.model, **kwargs)
     # Only params + quant_stats are needed to freeze; the raw state-dict
     # avoids reconstructing the training-time optimizer pytree.

@@ -36,6 +36,10 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from ivit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from ivit_tpu.data import DataLoader, build_dataset, eval_transform
     from ivit_tpu.data.loader import ShuffleSampler
     from ivit_tpu.deploy import build_vit_infer

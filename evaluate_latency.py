@@ -45,6 +45,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from ivit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
 
     from ivit_tpu.deploy import build_vit_infer, freeze_vit
@@ -60,11 +64,10 @@ def main(argv=None):
         artifact = load_artifact(args.artifact)
     else:
         mk = dict(num_classes=args.nb_classes, img_size=args.input_size)
-        if not is_swin:
-            if args.softmax_bits != 16:
-                mk["softmax_bits"] = args.softmax_bits
-            if args.gelu_stable:
-                mk["gelu_stable"] = True
+        if not is_swin and args.softmax_bits != 16:
+            mk["softmax_bits"] = args.softmax_bits
+        if args.gelu_stable:
+            mk["gelu_stable"] = True
         model = create_model(args.model, **mk)
         sample = jnp.zeros((1, args.input_size, args.input_size, 3))
         variables = jax.jit(lambda r, x: model.init(r, x, train=True))(

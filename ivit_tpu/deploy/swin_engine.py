@@ -64,6 +64,7 @@ def freeze_swin(model, variables) -> dict:
             window_size=model.window_size,
             mlp_ratio=model.mlp_ratio,
             num_classes=model.num_classes,
+            gelu_stable=getattr(model, "gelu_stable", False),
         )
     }
 
@@ -209,6 +210,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         use_pallas = jax.default_backend() != "cpu"
     p_attn = use_pallas and "attention" in pallas_ops
     cfg = artifact["config"]
+    gelu_stable = bool(cfg.get("gelu_stable", False))
     p = cfg["patch_size"]
     interpret = pallas_interpret
 
@@ -384,6 +386,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         gl, _ = shiftgelu(
             gq, sg_in, out_bits=8, interp=DEPLOY,
             static_p=math.ceil(1.0 / (1.702 * float(blk["s_gelu_in"]))),
+            stable=gelu_stable,
         )
         s_g = sg_in * np.float32(1.0 / 2.0**7)
         g8 = _requant(gl, s_g / sg_out, *_INT8, jnp.int8)

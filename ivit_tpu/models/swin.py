@@ -179,6 +179,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    gelu_stable: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -235,6 +236,7 @@ class SwinBlock(nn.Module):
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
             drop=self.drop,
+            gelu_stable=self.gelu_stable,
             interp=it,
             name="mlp",
         )(y, train=train)
@@ -289,6 +291,8 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.1
     ape: bool = False
     remat: bool = False
+    # elementwise-stable ShiftGELU (ops/shiftgelu) — recorded at freeze
+    gelu_stable: bool = False
     interp: Interp = SIM
 
     @nn.compact
@@ -347,6 +351,7 @@ class SwinTransformer(nn.Module):
                     drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
                     drop_path_rate=dpr[k],
+                    gelu_stable=self.gelu_stable,
                     interp=it,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train)  # positional: remat static_argnums counts args

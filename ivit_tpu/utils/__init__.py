@@ -1,4 +1,5 @@
 from .metrics import AverageMeter, MetricLogger
+from .compile_cache import enable_compile_cache
 from .checkpoint import (
     save_checkpoint,
     load_checkpoint,
@@ -12,6 +13,7 @@ from .checkpoint import (
 __all__ = [
     "AverageMeter",
     "MetricLogger",
+    "enable_compile_cache",
     "save_checkpoint",
     "load_checkpoint",
     "load_checkpoint_raw",

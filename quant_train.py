@@ -142,6 +142,10 @@ def main(argv=None):
     import numpy as np
     import optax
 
+    from ivit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from ivit_tpu.data import build_dataset, build_dataloaders
     from ivit_tpu.models import create_model
     from ivit_tpu.parallel import data_sharding, make_mesh, param_shardings
@@ -200,11 +204,10 @@ def main(argv=None):
     )
     if args.model.startswith("swin"):
         model_kwargs["window_size"] = args.window_size
-    else:
-        if args.softmax_bits != 16:
-            model_kwargs["softmax_bits"] = args.softmax_bits
-        if args.gelu_stable:
-            model_kwargs["gelu_stable"] = True
+    elif args.softmax_bits != 16:
+        model_kwargs["softmax_bits"] = args.softmax_bits
+    if args.gelu_stable:
+        model_kwargs["gelu_stable"] = True
     model = create_model(args.model, **model_kwargs)
 
     steps_per_epoch = max(1, len(train_loader))
@@ -363,8 +366,17 @@ def main(argv=None):
         if acc1 > best_acc1:
             best_acc1 = acc1
             save_checkpoint(
-                ckpt_path, state, {"epoch": epoch, "best_acc1": best_acc1}
+                os.path.join(args.output_dir, "best.pkl"),
+                state, {"epoch": epoch, "best_acc1": best_acc1},
             )
+        # rolling resume checkpoint EVERY epoch: the reference keeps
+        # only the accuracy-best model (quant_train.py:256-261, its
+        # every-epoch block is commented out), which makes mid-run
+        # resume impossible while accuracy hasn't improved — a real
+        # recovery gap for long runs (SURVEY §5.3/5.4)
+        save_checkpoint(
+            ckpt_path, state, {"epoch": epoch, "best_acc1": best_acc1}
+        )
         logging.info("best acc@1: %.3f", best_acc1)
 
     return best_acc1

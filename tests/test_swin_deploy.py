@@ -72,3 +72,27 @@ class TestSwinPallasAttention:
             pallas_ops=("attention",),
         )(x))
         np.testing.assert_array_equal(fused, pure)
+
+
+class TestSwinGeluStable:
+    def test_sim_deploy_parity_gelu_stable(self):
+        model = SwinTransformer(
+            img_size=16, patch_size=2, num_classes=8, embed_dim=16,
+            depths=(2, 2), num_heads=(2, 4), window_size=4,
+            drop_path_rate=0.0, gelu_stable=True,
+        )
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (2, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=True)
+        _, upd = model.apply(
+            variables, x, train=True, mutable=["quant_stats"]
+        )
+        variables = {"params": variables["params"], **upd}
+        sim = np.asarray(model.apply(variables, x, train=False))
+        artifact = freeze_swin(model, jax.tree.map(np.asarray, variables))
+        assert artifact["config"]["gelu_stable"] is True
+        dep = np.asarray(
+            jax.jit(build_swin_infer(artifact, use_pallas=False))(x)
+        )
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(dep, sim, atol=4 * head_scale, rtol=0)
