@@ -117,22 +117,34 @@ def _float_vit_infer(artifact):
     return infer
 
 
-def time_fn(fn, x, iters=ITERS):
+def time_fn(fn, x, iters=ITERS, reps=3):
     # Warmup/compile; the final host readback forces true completion
     # (block_until_ready alone does not synchronize through the remote
     # TPU relay — validated: loop throughput is execution-bound either
-    # way, but the explicit readback removes any doubt).
+    # way, but the explicit readback removes any doubt). Best-of-`reps`
+    # timed loops: the relay adds ~±2% run-to-run noise, and the min
+    # approximates the noise floor for both the int8 and fp32 legs.
     float(fn(x)[0, 0])
     float(fn(x)[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    float(out[0, 0])
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        float(out[0, 0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
-    model = create_model("deit_small")
+    # Shipping perf config: 8-bit softmax probabilities + pure int8
+    # attn@V — the reference TVM graph's OWN deploy precision
+    # (TVM_benchmark/models/layers.py:384-386, quantized_vit.py:71-75)
+    # — and the elementwise-stable ShiftGELU (one exp chain/element, no
+    # row reduce). Both are sim↔deploy parity-tested (tests/test_deploy
+    # TestSm8Mode, TestGeluStable, + the combined test) and
+    # accuracy-revalidated on the synthetic QAT chains.
+    model = create_model("deit_small", softmax_bits=8, gelu_stable=True)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))
     # jit the init: eager init dispatches hundreds of ops one-by-one,

@@ -31,6 +31,10 @@ def main(argv=None):
                         "(batch sharded on a (data,) mesh)")
     p.add_argument("--max-batches", default=0, type=int,
                    help="0 = full validation set")
+    p.add_argument("--dump-logits", default="",
+                   help="save per-image engine logits + labels to this "
+                        ".npz (aligns image-for-image with quant_train "
+                        "--eval --dump-logits: val order is sequential)")
     args = p.parse_args(argv)
 
     import jax
@@ -69,6 +73,7 @@ def main(argv=None):
     )
 
     top1 = top5 = seen = 0
+    dumped_logits, dumped_labels = [], []
     for b, (images, labels) in enumerate(loader):
         if args.max_batches and b >= args.max_batches:
             break
@@ -77,6 +82,9 @@ def main(argv=None):
         if pad:  # ragged last batch: pad to the data-axis multiple
             images = np.concatenate([images, images[:pad]])
         logits = np.asarray(infer(images))[:n]
+        if args.dump_logits:
+            dumped_logits.append(logits)
+            dumped_labels.append(np.asarray(labels))
         order = np.argsort(logits, -1)
         top1 += int((order[:, -1] == labels).sum())
         top5 += int((order[:, -5:] == labels[:, None]).any(-1).sum())
@@ -84,6 +92,11 @@ def main(argv=None):
         if b % 20 == 0:
             print(f"[{seen}] top1 {100*top1/seen:.3f} top5 {100*top5/seen:.3f}")
     print(f"FINAL top1 {100*top1/seen:.3f} top5 {100*top5/seen:.3f} over {seen}")
+    if args.dump_logits:
+        np.savez(args.dump_logits,
+                 logits=np.concatenate(dumped_logits),
+                 labels=np.concatenate(dumped_labels))
+        print(f"dumped {seen} engine logits to {args.dump_logits}")
 
 
 if __name__ == "__main__":

@@ -100,6 +100,12 @@ def build_parser():
     p.add_argument("--eval", action="store_true",
                    help="evaluate only (with --resume or --pretrained); "
                         "no training")
+    p.add_argument("--dump-logits", default="",
+                   help="with --eval: save per-image simulator logits + "
+                        "labels to this .npz (val order is sequential, "
+                        "so the file aligns image-for-image with "
+                        "evaluate_accuracy --dump-logits for sim↔engine "
+                        "per-image comparison)")
     p.add_argument("--calib-batches", type=int, default=0,
                    help="before eval/training, run N train batches with "
                         "EMA range updates to calibrate activation scales "
@@ -287,10 +293,17 @@ def main(argv=None):
         + args.smoothing / args.nb_classes
     )
 
+    dump_logits = bool(args.dump_logits) and args.eval
+    if dump_logits:
+        logits_fwd = jax.jit(
+            lambda v, im: model.apply(v, im, train=False)
+        )
+
     def validate(epoch):
         variables = {"params": state.params, "quant_stats": state.quant_stats}
         acc1 = AverageMeter("acc1")
         acc5 = AverageMeter("acc5")
+        dumped_logits, dumped_labels = [], []
         for images, labels in val_loader:
             n = images.shape[0]
             pad = -n % mesh.shape["data"]
@@ -303,8 +316,21 @@ def main(argv=None):
                 put_global(labels),
                 jnp.float32(n),
             )
+            if dump_logits:
+                dumped_logits.append(
+                    np.asarray(logits_fwd(variables, put_global(images)))[:n]
+                )
+                dumped_labels.append(np.asarray(labels)[:n])
             acc1.update(float(m["acc1"]), n)
             acc5.update(float(m["acc5"]), n)
+        if dump_logits:
+            np.savez(
+                args.dump_logits,
+                logits=np.concatenate(dumped_logits),
+                labels=np.concatenate(dumped_labels),
+            )
+            logging.info("dumped %d val logits to %s",
+                         sum(len(a) for a in dumped_labels), args.dump_logits)
         logging.info(
             "epoch %d  val acc@1 %.3f  acc@5 %.3f", epoch, acc1.avg, acc5.avg
         )

@@ -54,10 +54,15 @@ def main():
     mk = {}
     if os.environ.get("IVIT_PROFILE_SM_BITS"):
         mk["softmax_bits"] = int(os.environ["IVIT_PROFILE_SM_BITS"])
+    if os.environ.get("IVIT_PROFILE_GELU_STABLE"):
+        mk["gelu_stable"] = True
     rng = jax.random.PRNGKey(0)
     # freezing through the relay is minutes; cache the random-weight
     # artifact on disk (latency is weight-agnostic)
-    cache = f"/tmp/ivit_bench_artifact_sm{mk.get('softmax_bits', 16)}.pkl"
+    cache = (
+        f"/tmp/ivit_bench_artifact_sm{mk.get('softmax_bits', 16)}"
+        f"_g{int(mk.get('gelu_stable', False))}.pkl"
+    )
     import pickle
 
     if os.path.exists(cache):

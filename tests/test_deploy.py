@@ -259,6 +259,39 @@ class TestGeluStable:
             np.argmax(dep_logits, -1), np.argmax(sim_logits, -1)
         )
 
+    def test_sim_deploy_parity_sm8_gelu_stable_combined(self):
+        """The shipping perf config (bench.py): softmax_bits=8 AND
+        gelu_stable=True together. Parity of each mode alone does not
+        imply parity of the combination (the two rewrites share the
+        shift-exp chain), so the combo gets its own test."""
+        model = VisionTransformer(
+            img_size=16, patch_size=8, num_classes=8,
+            embed_dim=32, depth=2, num_heads=4,
+            softmax_bits=8, gelu_stable=True,
+        )
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(1), x0, train=True)
+        for i in range(3):
+            xi = jax.random.normal(jax.random.PRNGKey(50 + i), (4, 16, 16, 3))
+            _, upd = model.apply(
+                variables, xi, train=True, mutable=["quant_stats"]
+            )
+            variables = {"params": variables["params"], **upd}
+        x = jax.random.normal(jax.random.PRNGKey(42), (4, 16, 16, 3))
+        sim_logits = np.asarray(model.apply(variables, x, train=False))
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        assert artifact["config"]["softmax_bits"] == 8
+        assert artifact["config"]["gelu_stable"] is True
+        infer = jax.jit(build_vit_infer(artifact, use_pallas=False))
+        dep_logits = np.asarray(infer(x))
+        head_scale = float(np.max(artifact["head"]["out_scale"]))
+        np.testing.assert_allclose(
+            dep_logits, sim_logits, atol=3 * head_scale, rtol=0
+        )
+        np.testing.assert_array_equal(
+            np.argmax(dep_logits, -1), np.argmax(sim_logits, -1)
+        )
+
     def test_gelu_stable_variants_bit_match_default(self):
         model, variables = self._trained()
         x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 3))
