@@ -83,9 +83,14 @@ def main(argv=None):
     )
     use_fused_attn = args.pallas_attention
     if use_fused_attn is None:
-        # measured crossover on v5e: the fused kernel wins small-batch
-        # latency, XLA's batched matmuls win large-batch throughput
-        use_fused_attn = args.batch_size <= 8
+        # measured crossover on v5e: the fused kernel wins ViT
+        # small-batch latency (DeiT-S batch 1: 0.51 vs 0.68 ms), XLA's
+        # batched matmuls win large-batch throughput. For Swin the
+        # per-(window·head) kernel LOSES even at batch 1 (Swin-T:
+        # 1.23 ms fused vs 0.85-1.05 XLA — 64 windows × heads of
+        # N=49 tiles launch too small to beat XLA's batching), so the
+        # auto-select never engages it; --pallas-attention forces it.
+        use_fused_attn = args.batch_size <= 8 and not is_swin
     kwargs = {}
     if use_fused_attn and jax.default_backend() != "cpu":
         # both families have a fused attention kernel: per (batch·head)
