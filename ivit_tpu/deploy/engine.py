@@ -41,6 +41,8 @@ from ..ops import (
     int_layernorm,
     shiftgelu,
     shiftmax,
+    gelu_int_lanes_valid,
+    shiftgelu_stable_int_deploy,
     shiftmax_int_deploy,
 )
 
@@ -155,7 +157,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                     sm_split: bool = False,
                     sm_int_lanes: bool = False,
                     proj_4d: bool = False,
-                    res_split: bool = False):
+                    res_split: bool = False,
+                    gelu_int_lanes: bool = False):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
     ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
@@ -574,13 +577,27 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 rq(acc, _scale(fc1["out_scale"]) / sg_in, *_INT8, jnp.float32),
                 jnp.int8,
             ).astype(jnp.float32)
-            g, _ = shiftgelu(
-                gq, sg_in, out_bits=8, interp=DEPLOY,
-                static_p=math.ceil(
-                    1.0 / (1.702 * float(blk["s_gelu_in"]))
-                ),
-                stable=gelu_stable,
+            static_p = math.ceil(
+                1.0 / (1.702 * float(blk["s_gelu_in"]))
             )
+            if (
+                gelu_int_lanes
+                and gelu_stable
+                and gelu_int_lanes_valid(static_p)
+            ):
+                # int32-lane twin: native shifts/adds for the per-
+                # element head, PROVABLY bit-identical to the f32
+                # chain below (ops/shiftgelu, tests/test_ops.py
+                # TestShiftgeluStableIntDeploy)
+                g, _ = shiftgelu_stable_int_deploy(
+                    gq, sg_in, out_bits=8, static_p=static_p
+                )
+            else:
+                g, _ = shiftgelu(
+                    gq, sg_in, out_bits=8, interp=DEPLOY,
+                    static_p=static_p,
+                    stable=gelu_stable,
+                )
             g8 = rq(g, s_g / sg_out, *_INT8, jnp.int8)
 
         fc2 = blk["fc2"]

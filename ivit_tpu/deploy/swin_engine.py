@@ -19,7 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from ..models.swin import relative_position_index, sw_attn_mask, window_partition, window_reverse
-from ..ops import DEPLOY, shiftgelu, shiftmax, shiftmax_int_deploy
+from ..ops import (
+    DEPLOY,
+    gelu_int_lanes_valid,
+    shiftgelu,
+    shiftgelu_stable_int_deploy,
+    shiftmax,
+    shiftmax_int_deploy,
+)
 from .convert import _act_scale, _freeze_layernorm, _freeze_linear
 from .engine import (
     _INT8,
@@ -197,6 +204,7 @@ def _proj_out(c8, blk, H, hd, C):
 def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                      pallas_interpret: bool = False,
                      sm_int_lanes: bool = False,
+                     gelu_int_lanes: bool = False,
                      pallas_ops: tuple = ()):
     """Jittable int8 Swin inference: float NHWC images → logits.
 
@@ -383,11 +391,23 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             ),
             jnp.int8,
         ).astype(jnp.float32)
-        gl, _ = shiftgelu(
-            gq, sg_in, out_bits=8, interp=DEPLOY,
-            static_p=math.ceil(1.0 / (1.702 * float(blk["s_gelu_in"]))),
-            stable=gelu_stable,
-        )
+        g_static_p = math.ceil(1.0 / (1.702 * float(blk["s_gelu_in"])))
+        if (
+            gelu_int_lanes
+            and gelu_stable
+            and gelu_int_lanes_valid(g_static_p)
+        ):
+            # int32-lane twin — bit-identical to the f32 chain
+            # (ops/shiftgelu, TestShiftgeluStableIntDeploy)
+            gl, _ = shiftgelu_stable_int_deploy(
+                gq, sg_in, out_bits=8, static_p=g_static_p
+            )
+        else:
+            gl, _ = shiftgelu(
+                gq, sg_in, out_bits=8, interp=DEPLOY,
+                static_p=g_static_p,
+                stable=gelu_stable,
+            )
         s_g = sg_in * np.float32(1.0 / 2.0**7)
         g8 = _requant(gl, s_g / sg_out, *_INT8, jnp.int8)
 

@@ -20,6 +20,83 @@ from .shiftexp import exp_elisions, int_exp_shift
 _I32_MAX = 2.0**31 - 1.0
 
 
+def gelu_int_lanes_valid(static_p: int | None, n: int = 23) -> bool:
+    """Host gate for :func:`shiftgelu_stable_int_deploy` — all the
+    conditions under which the int32-lane twin is PROVABLY bit-identical
+    to the f32-carrier stable spec (see that function's docstring)."""
+    if static_p is None:
+        return False
+    _, el_clip = exp_elisions(static_p, n, in_lo=-128.0)
+    # (the input clamp is NOT a gate: the twin always applies it as one
+    # native max — value-neutral when the f32 side elides it, identical
+    # when it keeps it)
+    return (
+        el_clip
+        and 2 * (static_p + 2) * 2.0**n <= _I32_MAX  # sum-clip elision
+        and n * static_p * static_p <= 2**26         # magic-div exactness
+    )
+
+
+def shiftgelu_stable_int_deploy(
+    q: jax.Array,
+    scale: jax.Array,
+    out_bits: int = 8,
+    n: int = 23,
+    static_p: int | None = None,
+):
+    """Int32-lane deploy twin of the *stable* ShiftGELU — **bit-identical**
+    to the f32-carrier spec whenever :func:`gelu_int_lanes_valid` holds
+    (callers must gate on it; asserts here guard misuse).
+
+    Why it is exact (every f32-spec rounding is reproduced):
+
+    * the log2(e) map, quotient/remainder and 2^(n−1−qt) scaling stay
+      below 2^24 in operand mantissas, so the f32 arithmetic there is
+      integer-exact and native shifts/adds reproduce it (``q>>k`` is
+      floor division for the negative inputs, matching ``floor(q/2^k)``;
+      ``((r−2x0)<<(n−1))>>qt`` covers the qt = n half-shift case the
+      f32 path handles via exp2(−1) = 0.5);
+    * ``⌊t/x0⌋`` by magic multiply-high ``(u·M)>>26`` with
+      ``M = ⌈2^26/p⌉`` is the exact floor for u ≤ n·p when n·p² ≤ 2^26,
+      and the f32 division the spec performs cannot round across an
+      integer boundary there (distance ≥ 1/p ≫ ulp(t/x0) at t/x0 ≤ n),
+      so exact == f32-div+floor;
+    * ``exp_sum``: both f32 addends (e, e0 = p·2^n) are exactly
+      representable, so the spec's f32 add is RN(exact sum) — identical
+      to converting the exact int32 sum, which is how it is computed
+      here; the tail (factor division by the f32-rounded 2^31−1,
+      numer·factor product rounding, 2^(32−out_bits) scaling, final
+      multiply by q) is executed in f32 exactly as the spec writes it.
+
+    Why it is faster: the per-element head runs as native int32 VPU
+    shifts/adds — no f32 floors, no divide, no ldexp reconstruction.
+    Measured on v5e at the DeiT-S MLP shape before wiring the engine
+    knob (scripts/bench_gelu_modes.py).
+    """
+    assert static_p is not None and gelu_int_lanes_valid(static_p, n)
+    sig_scale = jnp.asarray(scale, jnp.float32) * 1.702
+    qi = q.astype(jnp.int32)
+    neg = jnp.minimum(qi, -qi)                       # −|x| ≤ 0
+    t = neg + (neg >> 1) - (neg >> 4)                # ⌊·log2 e⌋ map
+    x0f = jnp.floor(-1.0 / sig_scale)                # same f32 ops as spec
+    x0i = x0f.astype(jnp.int32)
+    t = jnp.maximum(t, jnp.int32(n) * x0i)           # see gate docstring
+    p = -x0i
+    m = (jnp.int32(1 << 26) + p - 1) // p            # scalar ⌈2^26/p⌉
+    u = -t                                           # in [0, n·p]
+    qt = (u * m) >> 26
+    r = t - x0i * qt
+    e = ((r - 2 * x0i) << (n - 1)) >> qt             # in (0, p·2^n]
+    e0 = p << n                                      # exp_int(0)
+    exp_sum = (e + e0).astype(jnp.float32)           # RN == spec's f32 add
+    factor = jnp.floor(_I32_MAX / exp_sum)
+    numer = jnp.where(qi >= 0, e0, e).astype(jnp.float32)
+    sigmoid_int = jnp.floor(numer * factor / 2.0 ** (32 - out_bits))
+    q_out = q * sigmoid_int
+    scale_out = scale * (1.0 / 2.0 ** (out_bits - 1))
+    return q_out, scale_out
+
+
 def shiftgelu(
     q: jax.Array,
     scale: jax.Array,

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivit_tpu.ops import DEPLOY, shiftgelu
+from ivit_tpu.ops import DEPLOY, shiftgelu, shiftgelu_stable_int_deploy
 
 REPS = 20
 ITERS = 10
@@ -50,11 +50,23 @@ def make(stable):
     return f
 
 
+def make_int():
+    def f(a):
+        q = jnp.clip(jnp.round(a.astype(jnp.float32) * R1), -128, 127)
+        g, _ = shiftgelu_stable_int_deploy(
+            q, jnp.float32(S_IN), out_bits=8, static_p=P
+        )
+        g8 = jnp.clip(jnp.round(g * R2), -128, 127).astype(jnp.int8)
+        return g8.astype(jnp.int32) * 16381
+    return f
+
+
 def main():
     rng = np.random.default_rng(0)
     acc = jnp.asarray(rng.integers(-(2**20), 2**20, (M, C)), jnp.int32)
-    for name, stable in (("rowmax", False), ("stable", True)):
-        t = run(make(stable), acc)
+    for name, fn in (("rowmax", make(False)), ("stable", make(True)),
+                     ("stable_int", make_int())):
+        t = run(fn, acc)
         print(f"{name}: {t*1e3:7.3f} ms ({M*C/t/1e9:6.1f} Gelem/s)")
 
 

@@ -302,6 +302,7 @@ class TestGeluStable:
             dict(sm_split=True),
             dict(res_split=True),
             dict(attn_v_mode="exact"),
+            dict(gelu_int_lanes=True),  # int32-lane stable-GELU twin
         ):
             out = np.asarray(
                 build_vit_infer(artifact, use_pallas=False, **kw)(x)

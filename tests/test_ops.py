@@ -296,6 +296,76 @@ class TestShiftmaxIntDeploy:
             np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestShiftgeluStableIntDeploy:
+    def test_bit_identical_to_f32_spec(self):
+        """Int32-lane stable GELU == f32-carrier stable spec, bit for
+        bit, across the gated scale range — incl. all-negative, all-
+        positive, zero and saturated inputs (the classes the guards /
+        elisions care about)."""
+        import math
+
+        from ivit_tpu.ops import (
+            gelu_int_lanes_valid,
+            shiftgelu_stable_int_deploy,
+        )
+
+        rng = np.random.default_rng(2)
+        q = rng.integers(-128, 128, (16, 384)).astype(np.float32)
+        q[0] = 0.0
+        q[1] = -128.0   # strongly negative block (the advisor's hazard)
+        q[2] = 127.0
+        q[3, :200] = -128.0
+        for scale in (0.005, 0.01, 0.0292, 0.05, 0.123):
+            p = int(-math.floor(-1.0 / (1.702 * scale)))
+            assert gelu_int_lanes_valid(p), scale
+            ref, s_ref = shiftgelu(
+                jnp.asarray(q), jnp.float32(scale), out_bits=8,
+                interp=DEPLOY, static_p=p, stable=True,
+            )
+            out, s_out = shiftgelu_stable_int_deploy(
+                jnp.asarray(q), jnp.float32(scale), out_bits=8,
+                static_p=p,
+            )
+            assert float(s_ref) == float(s_out)
+            np.testing.assert_array_equal(
+                np.asarray(out), np.asarray(ref),
+                err_msg=f"scale={scale}",
+            )
+
+    def test_gate_rejects_large_p(self):
+        from ivit_tpu.ops import gelu_int_lanes_valid
+
+        assert not gelu_int_lanes_valid(None)
+        assert not gelu_int_lanes_valid(3000)   # n*p^2 > 2^26
+        assert gelu_int_lanes_valid(12)
+
+    def test_bit_identical_jitted(self):
+        """Same equality inside jit (the engine's context) — guards the
+        claim that no XLA fusion changes either side's value."""
+        import math
+
+        from ivit_tpu.ops import shiftgelu_stable_int_deploy
+
+        rng = np.random.default_rng(3)
+        q = rng.integers(-128, 128, (4, 64, 128)).astype(np.float32)
+        scale = 0.0173
+        p = int(-math.floor(-1.0 / (1.702 * scale)))
+        f = jax.jit(
+            lambda x: shiftgelu(
+                x, jnp.float32(scale), out_bits=8, interp=DEPLOY,
+                static_p=p, stable=True,
+            )[0]
+        )
+        g = jax.jit(
+            lambda x: shiftgelu_stable_int_deploy(
+                x, jnp.float32(scale), out_bits=8, static_p=p
+            )[0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(g(jnp.asarray(q))), np.asarray(f(jnp.asarray(q)))
+        )
+
+
 class TestStaticElisions:
     """static_p guard elisions are value-identical (bit-for-bit) to the
     full-guard spec over the whole int8 input domain and a scale sweep

@@ -96,3 +96,11 @@ class TestSwinGeluStable:
         )
         head_scale = float(np.max(artifact["head"]["out_scale"]))
         np.testing.assert_allclose(dep, sim, atol=4 * head_scale, rtol=0)
+        # int32-lane stable-GELU twin must be bit-identical to the
+        # default engine path (ops-level proof in test_ops.py)
+        dep_int = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, gelu_int_lanes=True
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_int, dep)
