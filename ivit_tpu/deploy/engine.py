@@ -158,7 +158,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                     sm_int_lanes: bool = False,
                     proj_4d: bool = False,
                     res_split: bool = False,
-                    gelu_int_lanes: bool = False):
+                    gelu_int_lanes: bool = False,
+                    qkv_t: bool | str = False):
     """Build the jittable int8 inference fn: float NHWC images → logits.
 
     ``use_pallas=False`` selects the pure-XLA path (bit-identical; used
@@ -231,8 +232,112 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     # f32 scalar: ratio arithmetic must match the simulator's f32 ops
     qk_scale = np.float32(float(hd) ** -0.5)
     interpret = pallas_interpret
+    if qkv_t:
+        # transposed-stream attention needs the single-int8-dot @V and
+        # the plain XLA chain (the Pallas kernels take (B,·,N,hd)).
+        assert sm_bits == 8, "qkv_t requires softmax_bits=8"
+        if qkv_t is True:
+            qkv_t = "wmajor"
+        assert qkv_t in ("wmajor", "bbatch"), qkv_t
+
+    def _block_qkv_t(x, s_x, blk, N):
+        """Attention half with a TRANSPOSED qkv stream: the projection
+        is computed as W.T-major — ``dot_general(w, y) → (3C, B, N)`` —
+        so q/k/v materialize with the token axis minormost, the layout
+        the attention dot_generals consume. Bit-identical to the
+        canonical path (same elementwise value pairs, exact integer
+        dots, order-independent row sums); built to probe whether XLA's
+        q/k/v relayout copies (~1.7 ms/iter at batch 128, profiled)
+        disappear when the producer emits the consumer's layout."""
+        B = x.shape[0]
+        C = D
+        s1 = blk["s_qact1"]
+        y = _layernorm_requant(
+            x.astype(jnp.float32), blk["norm1"], s1, 8, *_INT8,
+            False, interpret,
+        )
+        if y.dtype != jnp.int8:
+            y = y.astype(jnp.int8)
+
+        qkv = blk["qkv"]
+        sa1 = _scale(blk["s_attn_qact1"])
+        w = jnp.asarray(qkv["w"])  # (C, 3C)
+        if qkv_t == "bbatch":
+            # B-batched GEMM: broadcasting the weight over the batch
+            # axis lets the dot emit (B, 3C, N) — per-(B, head) the
+            # (hd, N) plane the attention dots load, with NO relayout.
+            # The barrier keeps the simplifier from collapsing it back
+            # to the unbatched GEMM (which re-inserts the copies).
+            wb = jax.lax.optimization_barrier(
+                jnp.broadcast_to(w[None], (B,) + w.shape)
+            )
+            acc = jax.lax.dot_general(
+                wb, y,
+                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (B, 3C, N)
+            if "b" in qkv:
+                acc = acc + jnp.asarray(qkv["b"])[None, :, None]
+            ratio = (_scale(qkv["out_scale"]) / sa1)[None, :, None]
+            z = rq(acc, ratio, *_INT8, jnp.int8)
+            q = z[:, :C].reshape(B, H, hd, N)
+            k = z[:, C:2 * C].reshape(B, H, hd, N)
+            v = z[:, 2 * C:].reshape(B, H, hd, N)
+            bd = ((0, 1), (0, 1))
+        else:
+            # weight-major GEMM: (3C, B, N). N lands minormost but B
+            # stays adjacent to N (both rhs non-contracting), so the
+            # dot still relays out per-(B,H) planes — measured loss.
+            acc = jax.lax.dot_general(
+                w, y,
+                dimension_numbers=(((0,), (2,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (3C, B, N)
+            if "b" in qkv:
+                acc = acc + jnp.asarray(qkv["b"])[:, None, None]
+            ratio = (_scale(qkv["out_scale"]) / sa1)[:, None, None]
+            z = rq(acc, ratio, *_INT8, jnp.int8)
+            q = z[:C].reshape(H, hd, B, N)
+            k = z[C:2 * C].reshape(H, hd, B, N)
+            v = z[2 * C:].reshape(H, hd, B, N)
+            bd = ((0, 2), (0, 2))
+
+        s_attn = (sa1 * sa1) * qk_scale
+        ssm = _scale(blk["s_attn_sm_in"])
+        s_sm = np.float32(1.0 / 2.0 ** (sm_bits - 1))
+        sao = _scale(blk["s_attn_out"])
+
+        cd = 2 if qkv_t == "bbatch" else 1  # the hd axis
+        attn = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((cd,), (cd,)), (bd[0], bd[0])),
+            preferred_element_type=jnp.int32,
+        )  # (B, H, N, N) | (H, B, N, N)
+        a8 = _mat(
+            rq(attn, s_attn / ssm, *_INT8, jnp.float32), jnp.int8
+        ).astype(jnp.float32)
+        sm, _ = shiftmax(
+            a8, ssm, out_bits=sm_bits, interp=DEPLOY,
+            split_normalize=sm_split,
+            static_p=math.ceil(1.0 / float(blk["s_attn_sm_in"])),
+        )
+        sm8 = _mat(sm, jnp.int8)
+        ctx = jax.lax.dot_general(
+            sm8, v,
+            dimension_numbers=(((3,), (3,)), ((0, 1), bd[1])),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (B, H, N, hd) | (H, B, N, hd)
+        s_ctx = s_sm * sa1
+        ctx = _mat(rq(ctx, s_ctx / sao, *_INT8, jnp.int8), jnp.int8)
+        if qkv_t == "bbatch":
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)
+        else:
+            ctx = ctx.transpose(1, 2, 0, 3).reshape(B, N, C)
+        return _attn_tail(x, s_x, blk, ctx)
 
     def _block(x, s_x, blk, N):
+        if qkv_t:
+            return _block_qkv_t(x, s_x, blk, N)
         B = x.shape[0]
         C = D
         Npad = -(-N // 128) * 128

@@ -30,7 +30,8 @@ def time_fn(fn, x, iters):
 
 
 def main():
-    model = create_model("deit_small")
+    # shipping perf config (see bench.py)
+    model = create_model("deit_small", softmax_bits=8, gelu_stable=True)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))
     variables = jax.jit(lambda r, x: model.init(r, x, train=True))(

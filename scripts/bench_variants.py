@@ -34,6 +34,8 @@ VARIANTS = {
     "proj4d": {"proj_4d": True},
     "resbar": {"res_split": True},
     "sm16_resbar": {"sm_int16": True, "res_split": True},
+    "qkvt": {"qkv_t": True},
+    "qkvtb": {"qkv_t": "bbatch"},
     "geluint": {"gelu_int_lanes": True},
     "geluint_intsm": {"gelu_int_lanes": True, "sm_int_lanes": True},
 }

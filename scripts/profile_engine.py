@@ -30,6 +30,8 @@ def capture():
     mk = {}
     if not is_swin and _os.environ.get("IVIT_PROFILE_SM_BITS"):
         mk["softmax_bits"] = int(_os.environ["IVIT_PROFILE_SM_BITS"])
+    if _os.environ.get("IVIT_PROFILE_GELU_STABLE"):
+        mk["gelu_stable"] = True
     model = create_model(name, **mk)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))

@@ -202,6 +202,9 @@ class TestSm8Mode:
             dict(res_split=True),
             dict(attn_v_mode="exact"),  # collapses to the int8 dot
             dict(sm_int16=True),        # inert at 8 bits
+            dict(qkv_t=True),           # transposed qkv stream
+            dict(qkv_t=True, sm_split=True),
+            dict(qkv_t="bbatch"),       # B-batched transposed stream
         ):
             out = np.asarray(
                 build_vit_infer(artifact, use_pallas=False, **kw)(x)
