@@ -113,7 +113,10 @@ class DataLoader:
         self.transform = transform
         self.sampler = sampler or ShuffleSampler(len(dataset), seed=seed)
         self.drop_last = drop_last
-        self.num_workers = num_workers
+        # 0 means "no parallelism" in the torch idiom the reference's
+        # flags use; a 0-worker executor would raise, so clamp to one
+        # worker thread (still fully synchronous semantics).
+        self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
@@ -189,6 +192,10 @@ class DataLoader:
                             [r[1] for r in results], np.int32
                         )
                         out_q.put((images, labels))
+            except BaseException as e:  # propagate to the consumer —
+                # a swallowed producer error would otherwise look like
+                # an EMPTY epoch (zero batches, silent no-op training)
+                out_q.put(e)
             finally:
                 out_q.put(None)
 
@@ -199,6 +206,8 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -35,7 +35,20 @@ def create_train_state(
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
 ) -> TrainState:
-    variables = model.init(rng, sample_input, train=True)
+    # train=False: variables (incl. zero-valued quant_stats) are still
+    # created, but NO EMA update runs on the dummy sample. Seeding the
+    # stats from a zeros batch through init weights polluted the first
+    # ~20 real calibration batches at 0.95^k — the reference's fresh
+    # model instead starts from the min==max sentinel and assigns the
+    # first real batch directly (quant_modules.py:177-187; pinned by
+    # tests/test_ref_model_differential.py, which exposed this).
+    # jit: eager init dispatches hundreds of ops one-by-one, which is
+    # pathological over a remote-TPU relay (~minutes for a 12-block
+    # model); under jit it is one compile + one execution, and PRNG
+    # determinism makes the values identical either way.
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False)
+    )(rng, sample_input)
     params = variables["params"]
     return TrainState(
         step=jax.numpy.zeros((), jax.numpy.int32),

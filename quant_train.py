@@ -348,13 +348,20 @@ def main(argv=None):
         )
         variables = {"params": state.params, "quant_stats": state.quant_stats}
         train_loader.set_epoch(0)
+        n_cal = 0
         for i, (images, labels) in enumerate(train_loader):
             if i >= args.calib_batches:
                 break
             _, upd = calib_fwd(variables, put_global(images))
             variables = {"params": state.params, **upd}
+            n_cal += 1
+        if n_cal == 0:
+            raise RuntimeError(
+                "calibration saw ZERO batches — the train loader is empty "
+                "(dataset smaller than one batch, or a loader failure)"
+            )
         state = state.replace(quant_stats=variables["quant_stats"])
-        logging.info("calibrated EMA ranges over %d batches", args.calib_batches)
+        logging.info("calibrated EMA ranges over %d batches", n_cal)
 
     if args.eval:
         acc1 = validate(start_epoch)
@@ -367,6 +374,7 @@ def main(argv=None):
             len(train_loader), prefix=f"epoch {epoch} ", print_freq=args.print_freq
         )
         t0 = time.time()
+        n_steps = 0
         for i, (images, labels) in enumerate(train_loader):
             if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                 break
@@ -386,7 +394,16 @@ def main(argv=None):
             state, metrics = train_step(state, images, targets, k_drop)
             logger.update(loss=float(metrics["loss"]), acc1=float(metrics["acc1"]))
             logger.log(i)
-        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+            n_steps += 1
+        if not n_steps:
+            raise RuntimeError(
+                f"epoch {epoch} ran ZERO steps — the train loader yielded "
+                "nothing (empty dataset or a loader failure)"
+            )
+        logging.info(
+            "epoch %d done in %.1fs (%d steps)",
+            epoch, time.time() - t0, n_steps,
+        )
 
         acc1 = validate(epoch)
         if acc1 > best_acc1:

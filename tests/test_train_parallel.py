@@ -153,11 +153,22 @@ class TestMesh:
             float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5
         )
         assert float(m_mesh["acc1"]) == float(m_single["acc1"])
+        # quant_stats must agree EXACTLY (min/max reduces are
+        # order-independent); params only up to AdamW's first-step
+        # amplification of f32 gradient-reduction order — at step 1 the
+        # update is ~grad/(|grad|+eps), nearly sign(grad), so psum
+        # ordering dust in the gradients moves params by O(lr·1e-2)
+        # relative (observed 5e-6 abs at lr 1e-3).
+        for a, b in zip(
+            jax.tree.leaves(s_single.quant_stats),
+            jax.tree.leaves(s_mesh.quant_stats),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(
             jax.tree.leaves(s_single.params), jax.tree.leaves(s_mesh.params)
         ):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
             )
 
     @pytest.mark.slow
