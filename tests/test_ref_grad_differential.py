@@ -220,3 +220,55 @@ def test_int_layernorm_grads():
     np.testing.assert_allclose(np.asarray(gg), g_ref_gamma,
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(gb), 0.0)
+
+
+# ---------------------------------------------------------------- linear
+
+
+def test_quant_linear_module_grads():
+    """Module-level: per-out-channel weight-quantize STE (scale computed
+    under no_grad — DETACHED), bias STE at w_scale·s_in, x/s chain
+    (quant_modules.py:12-97). dx, dW, db must all match the reference's
+    autograd."""
+    qm, _ = _ref()
+    rng = np.random.default_rng(9)
+    in_f, out_f = 24, 16
+    W = rng.normal(0, 0.3, (out_f, in_f)).astype(np.float32)
+    b = rng.normal(0, 0.1, out_f).astype(np.float32)
+    s = np.float32(2.0**-5)
+    q = rng.integers(-128, 128, (5, in_f)).astype(np.float32)
+    w_mask = rng.normal(size=(5, out_f)).astype(np.float32)
+
+    ref_fc = qm.QuantLinear(in_f, out_f)
+    with torch.no_grad():
+        ref_fc.weight.copy_(torch.from_numpy(W))
+        ref_fc.bias.copy_(torch.from_numpy(b))
+    xt = torch.from_numpy(q * s).requires_grad_(True)
+    out, _ = ref_fc(xt, _t(s))
+    g_ref_x, g_ref_w, g_ref_b = _torch_grad(
+        out, [xt, ref_fc.weight, ref_fc.bias], w_mask
+    )
+
+    from ivit_tpu.core.qtensor import QTensor
+    from ivit_tpu.nn.quant import QuantLinear
+
+    model = QuantLinear(out_f)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        QTensor(q=jnp.asarray(q), scale=jnp.float32(s), bits=8),
+    )
+    params = {"kernel": jnp.asarray(W.T), "bias": jnp.asarray(b)}
+
+    def f(p, qv):
+        out = model.apply(
+            {"params": p}, QTensor(q=qv, scale=jnp.float32(s), bits=8)
+        )
+        return jnp.sum(out.q * out.scale * w_mask)
+
+    gp, gq = jax.grad(f, argnums=(0, 1))(params, jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(gq) / s, g_ref_x,
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp["kernel"]).T, g_ref_w,
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp["bias"]), g_ref_b,
+                               rtol=2e-5, atol=1e-7)
