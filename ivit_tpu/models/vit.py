@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -72,7 +73,16 @@ class VisionTransformer(nn.Module):
             (1, 1, self.embed_dim),
             jnp.float32,
         )
-        cls_q = jnp.round(cls_token / x.scale)
+        # it.round (STE in SIM): the reference concatenates the RAW
+        # float cls onto the quantized patch tokens (vit_quant.py:259-
+        # 262) and lets qact1's fixedpoint chain carry its gradient —
+        # the cls token TRAINS there. A plain jnp.round here zeroed
+        # d(loss)/d(cls_token), silently freezing the token at init
+        # (caught by tests/test_ref_model_differential.py's parameter-
+        # gradient differential). Rounding (vs the reference's raw
+        # float concat) is deliberate: the deploy engine needs an
+        # integer cls carrier, and SIM must stay bit-identical to it.
+        cls_q = it.round(cls_token / jax.lax.stop_gradient(x.scale))
         cls_q = jnp.broadcast_to(cls_q, (B, 1, self.embed_dim))
         x = x.replace(q=jnp.concatenate([cls_q, x.q], axis=1))
 

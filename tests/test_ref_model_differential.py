@@ -426,3 +426,109 @@ def test_swin_activation_stats_match():
             got, ref_stats[ref_name], rtol=rtol, atol=1e-7,
             err_msg=f"{ref_name} -> {'/'.join(path)}",
         )
+
+
+# ---------------------------------------------------------- training grads
+
+
+def test_full_model_parameter_gradients_match():
+    """The capstone of the fidelity pyramid: d(loss)/d(every parameter)
+    through the COMPLETE quantized ViT — the reference's autograd vs
+    jax.grad through our sim, same weights, same calibrated scales,
+    same soft-target cross-entropy batch. Carrier-tie dust in the
+    forward (see the logits test) injects noise; a wrong STE
+    convention, a missed stop_gradient, or a transposed weight map
+    would decorrelate whole gradient tensors instead."""
+    ref_model, variables, _, _ = _run_both()
+    c = _CFG
+    rng = np.random.default_rng(123)
+    x = rng.normal(size=(8, c["img"], c["img"], 3)).astype(np.float32)
+    t = np.eye(c["classes"], dtype=np.float32)[
+        rng.integers(0, c["classes"], 8)
+    ]
+    t = 0.9 * t + 0.1 / c["classes"]  # smoothed soft targets
+
+    # reference: frozen scales (freeze_model ran in _run_both), eval
+    # mode — all drop rates are 0, so eval vs train differs only in
+    # the stat updates our side must equally skip (train=False).
+    ref_model.eval()
+    for p in ref_model.parameters():
+        p.grad = None
+    logits = ref_model(torch.from_numpy(
+        np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+    ))
+    tt = torch.from_numpy(t)
+    loss = -(tt * torch.log_softmax(logits, -1)).sum(-1).mean()
+    loss.backward()
+    ref_g = {n: p.grad.numpy() for n, p in ref_model.named_parameters()
+             if p.grad is not None}
+
+    model, _ = _build_ours({})  # structure only; params come from vars
+    params = variables["params"]
+
+    def loss_fn(p):
+        lg = model.apply(
+            {"params": p, "quant_stats": variables["quant_stats"]},
+            jnp.asarray(x), train=False,
+        )
+        ls = jax.nn.log_softmax(lg, -1)
+        return -jnp.mean(jnp.sum(jnp.asarray(t) * ls, -1))
+
+    our_loss, our_g = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(our_loss), float(loss), rtol=2e-3)
+
+    def pick(path):
+        node = our_g
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    # torch name → (our path, transform from our layout to torch's)
+    tr = lambda a: a.T
+    ident = lambda a: a
+    pairs = {
+        "cls_token": (("cls_token",), ident),
+        "pos_embed": (("pos_embed",), ident),
+        "head.weight": (("head", "kernel"), tr),
+        "head.bias": (("head", "bias"), ident),
+        "norm.weight": (("norm", "scale"), ident),
+    }
+    pairs["patch_embed.proj.bias"] = (("patch_embed", "proj", "bias"), ident)
+    for i in range(c["depth"]):
+        b = f"blocks_{i}"
+        src = f"blocks.{i}"
+        pairs[f"{src}.attn.qkv.weight"] = ((b, "attn", "qkv", "kernel"), tr)
+        pairs[f"{src}.attn.qkv.bias"] = ((b, "attn", "qkv", "bias"), ident)
+        pairs[f"{src}.attn.proj.weight"] = ((b, "attn", "proj", "kernel"), tr)
+        pairs[f"{src}.attn.proj.bias"] = ((b, "attn", "proj", "bias"), ident)
+        pairs[f"{src}.mlp.fc1.weight"] = ((b, "mlp", "fc1", "kernel"), tr)
+        pairs[f"{src}.mlp.fc1.bias"] = ((b, "mlp", "fc1", "bias"), ident)
+        pairs[f"{src}.mlp.fc2.weight"] = ((b, "mlp", "fc2", "kernel"), tr)
+        pairs[f"{src}.mlp.fc2.bias"] = ((b, "mlp", "fc2", "bias"), ident)
+        pairs[f"{src}.norm1.weight"] = ((b, "norm1", "scale"), ident)
+        pairs[f"{src}.norm2.weight"] = ((b, "norm2", "scale"), ident)
+
+    # Thresholds calibrated against the measured dust: worst observed
+    # rel 0.067 / cos 0.99865 (deeper-backward tensors are noisier). A
+    # transposed map gives cos ≈ 0, a dead STE (the cls_token bug this
+    # test caught) gives rel = 1.0 — an order of magnitude of margin.
+    for torch_name, (path, xf) in pairs.items():
+        g_ref = ref_g[torch_name]
+        g_our = xf(pick(path))
+        nref = np.linalg.norm(g_ref)
+        assert nref > 0, torch_name
+        rel = np.linalg.norm(g_our - g_ref) / nref
+        cos = float(
+            (g_our * g_ref).sum()
+            / (np.linalg.norm(g_our) * nref + 1e-30)
+        )
+        assert rel < 0.10 and cos > 0.998, (torch_name, rel, cos)
+
+    # β is detached on BOTH sides: the reference's IntLayerNorm bias
+    # grads are None, ours must be exactly zero.
+    for i in range(c["depth"]):
+        for n in ("norm1", "norm2"):
+            assert f"blocks.{i}.{n}.bias" not in ref_g
+            np.testing.assert_array_equal(
+                pick((f"blocks_{i}", n, "bias")), 0.0
+            )
