@@ -532,3 +532,106 @@ def test_full_model_parameter_gradients_match():
             np.testing.assert_array_equal(
                 pick((f"blocks_{i}", n, "bias")), 0.0
             )
+
+
+def test_swin_full_model_parameter_gradients_match():
+    """Swin capstone: d(loss)/d(parameter) through the complete
+    quantized Swin graph (shifted window, rel-pos table, PatchMerging)
+    — reference autograd vs jax.grad, same weights and calibrated
+    scales."""
+    ref_model, variables, _, _ = _run_both_swin()
+    c = _SWIN_CFG
+    rng = np.random.default_rng(321)
+    x = rng.normal(
+        size=(8, c["img_size"], c["img_size"], 3)
+    ).astype(np.float32)
+    t = np.eye(c["num_classes"], dtype=np.float32)[
+        rng.integers(0, c["num_classes"], 8)
+    ]
+    t = 0.9 * t + 0.1 / c["num_classes"]
+
+    ref_model.eval()
+    for p in ref_model.parameters():
+        p.grad = None
+    logits = ref_model(torch.from_numpy(
+        np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+    ))
+    loss = -(torch.from_numpy(t) * torch.log_softmax(logits, -1)).sum(-1).mean()
+    loss.backward()
+    ref_g = {n: p.grad.numpy() for n, p in ref_model.named_parameters()
+             if p.grad is not None}
+
+    from ivit_tpu.models import SwinTransformer
+
+    model = SwinTransformer(**c)
+    params = variables["params"]
+
+    def loss_fn(p):
+        lg = model.apply(
+            {"params": p, "quant_stats": variables["quant_stats"]},
+            jnp.asarray(x), train=False,
+        )
+        ls = jax.nn.log_softmax(lg, -1)
+        return -jnp.mean(jnp.sum(jnp.asarray(t) * ls, -1))
+
+    our_loss, our_g = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(our_loss), float(loss.item()),
+                               rtol=2e-3)
+
+    def pick(path):
+        node = our_g
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    tr = lambda a: a.T
+    ident = lambda a: a
+    p_sz = c["patch_size"]
+
+    def conv_from_matmul(g):
+        # our space-to-depth kernel (p·p·3, D) → torch conv (D, 3, p, p)
+        return g.reshape(p_sz, p_sz, 3, -1).transpose(3, 2, 0, 1)
+
+    pairs = {
+        "patch_embed.proj.weight": (
+            ("patch_embed", "proj", "kernel"), conv_from_matmul),
+        "patch_embed.proj.bias": (("patch_embed", "proj", "bias"), ident),
+        "patch_embed.norm.weight": (("patch_norm", "scale"), ident),
+        "head.weight": (("head", "kernel"), tr),
+        "head.bias": (("head", "bias"), ident),
+        "norm.weight": (("norm", "scale"), ident),
+    }
+    for i, depth in enumerate(c["depths"]):
+        for j in range(depth):
+            b = f"layers_{i}_blocks_{j}"
+            src = f"layers.{i}.blocks.{j}"
+            pairs[f"{src}.attn.relative_position_bias_table"] = (
+                (b, "attn", "relative_position_bias_table"), ident)
+            pairs[f"{src}.attn.qkv.weight"] = ((b, "attn", "qkv", "kernel"), tr)
+            pairs[f"{src}.attn.qkv.bias"] = ((b, "attn", "qkv", "bias"), ident)
+            pairs[f"{src}.attn.proj.weight"] = (
+                (b, "attn", "proj", "kernel"), tr)
+            pairs[f"{src}.mlp.fc1.weight"] = ((b, "mlp", "fc1", "kernel"), tr)
+            pairs[f"{src}.mlp.fc2.weight"] = ((b, "mlp", "fc2", "kernel"), tr)
+            pairs[f"{src}.norm1.weight"] = ((b, "norm1", "scale"), ident)
+            pairs[f"{src}.norm2.weight"] = ((b, "norm2", "scale"), ident)
+        if i < len(c["depths"]) - 1:
+            pairs[f"layers.{i}.downsample.reduction.weight"] = (
+                (f"layers_{i}_downsample", "reduction", "kernel"), tr)
+            pairs[f"layers.{i}.downsample.norm.weight"] = (
+                (f"layers_{i}_downsample", "norm", "scale"), ident)
+
+    worst = (None, 0.0, 1.0)
+    for torch_name, (path, xf) in pairs.items():
+        g_ref = ref_g[torch_name]
+        g_our = xf(pick(path))
+        nref = np.linalg.norm(g_ref)
+        assert nref > 0, torch_name
+        rel = np.linalg.norm(g_our - g_ref) / nref
+        cos = float(
+            (g_our * g_ref).sum()
+            / (np.linalg.norm(g_our) * nref + 1e-30)
+        )
+        if rel > worst[1]:
+            worst = (torch_name, rel, cos)
+        assert rel < 0.15 and cos > 0.99, (torch_name, rel, cos)
