@@ -18,25 +18,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main(argv=None):
     p = argparse.ArgumentParser("I-ViT artifact converter")
-    p.add_argument("--model", default="deit_small")
+    p.add_argument("--model", default=None,
+                   help="model name; defaults to the one recorded in "
+                        "the checkpoint (deit_small for checkpoints "
+                        "predating the metadata)")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", default="results/artifact.pkl")
-    p.add_argument("--nb-classes", default=1000, type=int)
-    p.add_argument("--input-size", default=224, type=int)
-    p.add_argument("--window-size", default=7, type=int,
-                   help="Swin window size (must match training)")
+    p.add_argument("--nb-classes", default=None, type=int,
+                   help="defaults to the checkpoint's recorded value "
+                        "(1000 for checkpoints predating the metadata)")
+    p.add_argument("--input-size", default=None, type=int,
+                   help="defaults to the checkpoint's recorded value "
+                        "(224 for checkpoints predating the metadata)")
+    p.add_argument("--window-size", default=None, type=int,
+                   help="Swin window size (must match training); "
+                        "defaults to the checkpoint's recorded value "
+                        "(7 for checkpoints predating the metadata)")
     p.add_argument("--export-engine", default="",
                    help="also export a compiled StableHLO engine "
                         "(self-contained; loads with jax alone)")
     p.add_argument("--export-batch", default=1, type=int,
                    help="batch size the exported engine is built for")
-    p.add_argument("--softmax-bits", default=16, type=int, choices=(8, 16),
+    p.add_argument("--softmax-bits", default=None, type=int, choices=(8, 16),
                    help="ViT probability precision (must match training; "
                         "recorded in the artifact and honored by the "
-                        "engine)")
-    p.add_argument("--gelu-stable", action="store_true",
+                        "engine). Defaults to the value recorded in the "
+                        "checkpoint (16 for checkpoints predating the "
+                        "metadata)")
+    p.add_argument("--gelu-stable", default=None, action="store_true",
                    help="elementwise-stable ShiftGELU (must match "
-                        "training; recorded in the artifact)")
+                        "training; recorded in the artifact). Defaults "
+                        "to the value recorded in the checkpoint")
     args = p.parse_args(argv)
 
     from ivit_tpu.utils import enable_compile_cache
@@ -48,17 +60,58 @@ def main(argv=None):
     from ivit_tpu.models import create_model
     from ivit_tpu.utils import load_checkpoint_raw, save_artifact
 
-    kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
-    if args.model.startswith("swin"):
-        kwargs["window_size"] = args.window_size
-    elif args.softmax_bits != 16:
-        kwargs["softmax_bits"] = args.softmax_bits
-    if args.gelu_stable:
-        kwargs["gelu_stable"] = True
-    model = create_model(args.model, **kwargs)
     # Only params + quant_stats are needed to freeze; the raw state-dict
     # avoids reconstructing the training-time optimizer pytree.
     raw, extra = load_checkpoint_raw(args.checkpoint)
+
+    def _resolve(flag_name, cli_value, recorded, default):
+        """softmax_bits/gelu_stable are spec-level model properties the
+        scales were trained under; quant_train records them in the
+        checkpoint, and a silent mismatch at freeze time would degrade
+        accuracy with no error. CLI value wins only when it agrees (or
+        nothing was recorded — pre-metadata checkpoints)."""
+        if recorded is not None and cli_value is not None \
+                and cli_value != recorded:
+            raise SystemExit(
+                f"--{flag_name}={cli_value} conflicts with the "
+                f"checkpoint, which was trained with "
+                f"{flag_name}={recorded} (recorded by quant_train). "
+                f"Drop the flag to use the recorded value."
+            )
+        if cli_value is not None:
+            return cli_value
+        return recorded if recorded is not None else default
+
+    sm_bits = _resolve("softmax-bits", args.softmax_bits,
+                       extra.get("softmax_bits"), 16)
+    gelu_stable = _resolve("gelu-stable", args.gelu_stable,
+                           extra.get("gelu_stable"), False)
+    # Geometry is equally spec-level: scales/pos-embed were trained at
+    # one (input_size, nb_classes, window_size) and freezing at another
+    # is at best a loud shape error, at worst silent degradation.
+    args.nb_classes = _resolve("nb-classes", args.nb_classes,
+                               extra.get("nb_classes"), 1000)
+    args.input_size = _resolve("input-size", args.input_size,
+                               extra.get("input_size"), 224)
+    args.window_size = _resolve("window-size", args.window_size,
+                                extra.get("window_size"), 7)
+    if (args.model is not None and extra.get("model") is not None
+            and extra["model"] != args.model):
+        raise SystemExit(
+            f"--model={args.model} but the checkpoint was trained as "
+            f"{extra['model']!r}"
+        )
+    model_name = args.model or extra.get("model") or "deit_small"
+    args.model = model_name  # downstream code branches on the name
+
+    kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
+    if model_name.startswith("swin"):
+        kwargs["window_size"] = args.window_size
+    elif sm_bits != 16:
+        kwargs["softmax_bits"] = sm_bits
+    if gelu_stable:
+        kwargs["gelu_stable"] = True
+    model = create_model(model_name, **kwargs)
     variables = {"params": raw["params"], "quant_stats": raw["quant_stats"]}
     freeze = freeze_swin if args.model.startswith("swin") else freeze_vit
     artifact = freeze(model, variables)

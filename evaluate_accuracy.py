@@ -80,7 +80,9 @@ def main(argv=None):
         n = len(labels)
         pad = -n % args.mesh_data
         if pad:  # ragged last batch: pad to the data-axis multiple
-            images = np.concatenate([images, images[:pad]])
+            # modular indexing, not images[:pad] — pad can exceed n
+            # (e.g. a 16-image final batch on a 64-wide data mesh)
+            images = np.concatenate([images, images[np.arange(pad) % n]])
         logits = np.asarray(infer(images))[:n]
         if args.dump_logits:
             dumped_logits.append(logits)

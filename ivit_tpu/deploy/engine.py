@@ -212,6 +212,21 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     # because the simulator runs the same out_bits (vit.softmax_bits).
     sm_bits = int(cfg.get("softmax_bits", 16))
     assert sm_bits in (8, 16), sm_bits
+    # The fused v1 attention kernel's 2-limb row sums are exact only
+    # for <=256 tokens (kernels/attention_fused.py — the bound
+    # ops/shiftmax gates on); longer sequences (e.g. 384² inputs,
+    # N = 577) must take the XLA path, which switched to the 3-limb
+    # exact sum for those rows.
+    n_tokens = (cfg["img_size"] // p) ** 2 + 1
+    if p_attn and n_tokens > 256:
+        import warnings
+
+        warnings.warn(
+            f"fused attention disabled: N={n_tokens} > 256 exceeds the "
+            "kernel's exact-row-sum bound; using the XLA path",
+            stacklevel=2,
+        )
+        p_attn = False
     if sm_bits == 8:
         # int8 probabilities make @V a single native int8 MXU dot: the
         # base-256 split ("exact") and the f32-HIGH dot collapse to the

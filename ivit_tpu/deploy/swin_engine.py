@@ -218,6 +218,21 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         use_pallas = jax.default_backend() != "cpu"
     p_attn = use_pallas and "attention" in pallas_ops
     cfg = artifact["config"]
+    if p_attn and any(
+        blk["ws"] * blk["ws"] > 256
+        for stage in artifact["stages"]
+        for blk in stage["blocks"]
+    ):
+        # kernels/window_attention_fused.py: the 2-limb row sum is
+        # exact only for <=256 tokens (window_size <= 16); oversize
+        # windows take the XLA path (3-limb exact sums) per block.
+        import warnings
+
+        warnings.warn(
+            "fused window attention disabled for windows > 16 "
+            "(exact-row-sum bound); those blocks use the XLA path",
+            stacklevel=2,
+        )
     gelu_stable = bool(cfg.get("gelu_stable", False))
     p = cfg["patch_size"]
     interpret = pallas_interpret
@@ -242,10 +257,11 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
         k = z[..., C:2 * C].reshape(Bw, N, H, hd)
         v = z[..., 2 * C:].reshape(Bw, N, H, hd)
 
-        if p_attn:
+        if p_attn and N <= 256:
             # fully-fused window attention: one kernel per
             # (window, head); scores never reach HBM. Kernel parameters
             # are compile-time host floats (the ViT p_attn pattern).
+            # N <= 256: the kernel's exact-row-sum bound (see builder).
             h_sa1 = float(blk["s_attn_qact1"])
             h_sattn = np.float32(h_sa1 * h_sa1) * np.float32(
                 float(hd) ** -0.5

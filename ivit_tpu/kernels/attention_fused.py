@@ -22,15 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_I32_MAX = 2.0**31 - 1.0
-
-
-def _exp2i(k):
-    # exact 2^k for integer-valued f32 k >= -126 via the exponent field
-    # (ldexp); avoids the transcendental exp2 on the VPU.
-    return jax.lax.bitcast_convert_type(
-        (k.astype(jnp.int32) + 127) << 23, jnp.float32
-    )
+from ._shiftmax_common import I32_MAX as _I32_MAX
+from ._shiftmax_common import exact_rowsum_2limb, norm_factor, shift_exp_rows
 
 
 def _one_head(q, k, v, *, r1, scale, n, out_bits, n_valid, r_out):
@@ -46,27 +39,11 @@ def _one_head(q, k, v, *, r1, scale, n, out_bits, n_valid, r_out):
     z = jnp.where(valid, z, -(2.0**20))
     z = z - jnp.max(z, axis=-1, keepdims=True)
 
-    # shift-exp (ops/shiftexp.py spec)
-    z = z + jnp.floor(z / 2.0) - jnp.floor(z / 16.0)
-    x0 = jnp.floor(-1.0 / scale)
-    z = jnp.maximum(z, n * x0)
-    qt = jnp.floor(z / x0)
-    r = z - x0 * qt
-    e = jnp.floor((r - 2.0 * x0) * _exp2i(n - 1.0 - qt))
-    e = jnp.clip(e, 0.0, _I32_MAX)
-    e = jnp.where(valid, e, 0.0)
-
-    # order-independent exact row sum (ops/shiftmax.py spec)
-    ehi = jnp.floor(e * (1.0 / 2.0**16))
-    elo = e - ehi * (2.0**16)
-    esum = (
-        jnp.sum(ehi, axis=-1, keepdims=True) * (2.0**16)
-        + jnp.sum(elo, axis=-1, keepdims=True)
-    )
-    esum = jnp.clip(esum, 1.0, _I32_MAX)
-    # 2^-k folded into the per-row factor (exact; ops/shiftmax.py)
-    factor = jnp.floor(_I32_MAX / esum) * (1.0 / 2.0 ** (32 - out_bits))
-    sm = jnp.floor(e * factor)
+    # shift-exp + exact row sum + folded 2^-k factor (the shared
+    # ops/shiftexp + ops/shiftmax spec — kernels/_shiftmax_common)
+    e = shift_exp_rows(z, scale, n, valid)
+    esum = jnp.clip(exact_rowsum_2limb(e), 1.0, _I32_MAX)
+    sm = jnp.floor(e * norm_factor(esum, out_bits))
 
     # base-256 split → two int8 MXU matmuls + rank-1 correction (exact)
     hi = jnp.floor(sm / 256.0)
@@ -118,6 +95,17 @@ def fused_int8_attention(
     garbage — slice)."""
     G, Npad, D = q.shape
     assert Npad % 128 == 0, Npad
+    # The 2-limb (base-2^16) row sum in _one_head is exact only while
+    # each limb's f32 partial sums stay below 2^24: lo < 2^16 per
+    # element caps the row at 256 valid columns (the same bound
+    # ops/shiftmax._exact_sum_lastdim gates on — longer rows would
+    # silently reintroduce order-dependent rounding and break the
+    # bit-identity to the XLA/sim oracle). Callers (engine p_attn
+    # gates) fall back to the XLA path above this.
+    assert n_valid <= 256, (
+        f"fused attention supports <=256 tokens (got {n_valid}): the "
+        "2-limb exact row sum bound; use the XLA path"
+    )
     if heads_per_cell <= 0:
         # >1 amortizes grid overhead but multiplies Mosaic program size
         # and (remote) compile time; 1 is the known-good default.

@@ -42,14 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_I32_MAX = 2.0**31 - 1.0
-
-
-def _exp2i(k):
-    # exact 2^k for integer-valued f32 k >= -126 via the exponent field
-    return jax.lax.bitcast_convert_type(
-        (k.astype(jnp.int32) + 127) << 23, jnp.float32
-    )
+from ._shiftmax_common import I32_MAX as _I32_MAX
+from ._shiftmax_common import norm_factor, shift_exp_rows
 
 
 def _kernel(q_ref, k_ref, v_ref, out_ref, s_ref, *, heads, r1, scale, n,
@@ -71,13 +65,10 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, s_ref, *, heads, r1, scale, n,
     zq = jnp.where(valid, zq, -(2.0**20))
     zq = zq - jnp.max(zq, axis=-1, keepdims=True)
 
-    x0 = jnp.floor(-1.0 / scale)
-    zq = zq + jnp.floor(zq / 2.0) - jnp.floor(zq / 16.0)
-    zq = jnp.maximum(zq, n * x0)
-    qt = jnp.floor(zq / x0)
-    r = zq - x0 * qt
-    e = jnp.floor((r - 2.0 * x0) * _exp2i(n - 1.0 - qt))
-    e = jnp.where(valid, e, 0.0)
+    # shared chain (kernels/_shiftmax_common); the per-element clip is
+    # elided — value-identical under this kernel's p·2ⁿ ≤ 2³¹−1 gate
+    # (module docstring)
+    e = shift_exp_rows(zq, scale, n, valid, clip_e=False)
 
     # exact int32 row sum == the spec's hi/lo-split f32 sum (see module
     # docstring; caller gates the scale so this cannot wrap)
@@ -85,9 +76,7 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, s_ref, *, heads, r1, scale, n,
         jnp.float32
     )
     esum = jnp.clip(esum, 1.0, _I32_MAX)
-    # 2^-k folded into the per-row factor (exact; ops/shiftmax.py)
-    factor = jnp.floor(_I32_MAX / esum) * (1.0 / 2.0 ** (32 - out_bits))
-    sm = jnp.floor(e * factor)
+    sm = jnp.floor(e * norm_factor(esum, out_bits))
 
     # ---- phase 3 (MXU): probabilities @ V in f32 HIGHEST (Mosaic does
     # not lower HIGH; HIGHEST is bit-equal to the engine's HIGH @V for

@@ -25,14 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_I32_MAX = 2.0**31 - 1.0
-
-
-def _exp2i(k):
-    # exact 2^k for integer-valued f32 k ≥ −126 via the exponent field
-    return jax.lax.bitcast_convert_type(
-        (k.astype(jnp.int32) + 127) << 23, jnp.float32
-    )
+from ._shiftmax_common import I32_MAX as _I32_MAX
+from ._shiftmax_common import exact_rowsum_2limb, norm_factor, shift_exp_rows
 
 
 def _one_cell(q, k, v, bias, mask, *, r1, rb, scale, n, n_valid, r_out):
@@ -53,26 +47,11 @@ def _one_cell(q, k, v, bias, mask, *, r1, rb, scale, n, n_valid, r_out):
     z = jnp.where(valid, z, -(2.0**20))
     z = z - jnp.max(z, axis=-1, keepdims=True)
 
-    # shift-exp, full guards (ops/shiftexp.py spec)
-    z = z + jnp.floor(z / 2.0) - jnp.floor(z / 16.0)
-    x0 = jnp.floor(-1.0 / scale)
-    z = jnp.maximum(z, n * x0)
-    qt = jnp.floor(z / x0)
-    r = z - x0 * qt
-    e = jnp.floor((r - 2.0 * x0) * _exp2i(n - 1.0 - qt))
-    e = jnp.clip(e, 0.0, _I32_MAX)
-    e = jnp.where(valid, e, 0.0)
-
-    # order-independent exact row sum (ops/shiftmax.py spec)
-    ehi = jnp.floor(e * (1.0 / 2.0**16))
-    elo = e - ehi * (2.0**16)
-    esum = (
-        jnp.sum(ehi, axis=-1, keepdims=True) * (2.0**16)
-        + jnp.sum(elo, axis=-1, keepdims=True)
-    )
-    esum = jnp.clip(esum, 1.0, _I32_MAX)
-    factor = jnp.floor(_I32_MAX / esum) * (1.0 / 2.0**24)  # out_bits=8
-    sm = jnp.floor(e * factor)  # [0, 127] — int8-exact probabilities
+    # shift-exp (full guards) + exact row sum + folded 2^-k factor
+    # (the shared ops spec — kernels/_shiftmax_common); out_bits=8
+    e = shift_exp_rows(z, scale, n, valid)
+    esum = jnp.clip(exact_rowsum_2limb(e), 1.0, _I32_MAX)
+    sm = jnp.floor(e * norm_factor(esum, 8))  # [0, 127] int8-exact probs
 
     ctx = jax.lax.dot_general(
         sm.astype(jnp.int8), v,
@@ -119,6 +98,12 @@ def fused_int8_window_attention(
     G, Npad, hd = q.shape
     assert Npad % 128 == 0, Npad
     assert G % heads == 0
+    # Same exactness bound as attention_fused.fused_int8_attention: the
+    # 2-limb row sum is only order-independent for <=256 valid columns
+    # (window_size <= 16). Callers gate and fall back to XLA above it.
+    assert n_valid <= 256, (
+        f"fused window attention supports <=256 tokens (got {n_valid})"
+    )
     n_w = mask.shape[0] if mask is not None else 1
 
     kernel = functools.partial(

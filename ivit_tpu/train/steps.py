@@ -84,13 +84,18 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, return_logits: bool = False):
     """Frozen-range eval step: (variables, images, labels, n_valid) → metrics.
 
     ``n_valid`` masks rows padded on by the caller to reach a
     batch-size multiple of the mesh — padded duplicates must not
     contaminate the accuracy mean (they would bias best-checkpoint
     selection on val sets whose size is not a batch multiple).
+
+    ``return_logits``: also return the forward's logits (metrics,
+    logits) — the ``--dump-logits`` path reuses the eval forward
+    instead of dispatching a second full-model apply per batch (which
+    doubled eval wall-clock through the TPU relay).
     """
 
     def eval_step(variables, images, labels, n_valid):
@@ -104,6 +109,9 @@ def make_eval_step(model):
             hit = jnp.any(topk == labels[:, None], axis=-1)
             return jnp.sum(hit * valid) / n_valid * 100.0
 
-        return {"acc1": acc(1), "acc5": acc(5)}
+        metrics = {"acc1": acc(1), "acc5": acc(5)}
+        if return_logits:
+            return metrics, logits
+        return metrics
 
     return eval_step

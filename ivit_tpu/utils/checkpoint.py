@@ -74,8 +74,13 @@ def _resolve(path: str) -> str:
         if not os.path.exists(dst):
             tmp = dst + ".tmp"
             urllib.request.urlretrieve(path, tmp)
+            # torch-hub convention: trailing hex token = sha256 prefix.
+            # Require at least one [a-f] so all-digit suffixes (dates,
+            # versions: ckpt-20250816.pth) are not mistaken for hashes
+            # and refused — an 8+-digit sha prefix with no letter is
+            # ~2% of real hashes, and those simply skip verification.
             m = re.search(r"-([0-9a-f]{8,64})\.[^.]+$", fname)
-            if m:
+            if m and re.search(r"[a-f]", m.group(1)):
                 digest = hashlib.sha256()
                 with open(tmp, "rb") as f:
                     for chunk in iter(lambda: f.read(1 << 20), b""):

@@ -215,6 +215,19 @@ def main(argv=None):
     if args.gelu_stable:
         model_kwargs["gelu_stable"] = True
     model = create_model(args.model, **model_kwargs)
+    # Recorded in every checkpoint so convert_model can reconstruct the
+    # EXACT model the scales were trained for — softmax_bits/gelu_stable
+    # are spec-level model properties, and silently freezing a
+    # mismatched artifact would degrade accuracy with no error.
+    ckpt_meta = {
+        "model": args.model,
+        "input_size": args.input_size,
+        "nb_classes": args.nb_classes,
+        "softmax_bits": args.softmax_bits,
+        "gelu_stable": bool(args.gelu_stable),
+    }
+    if args.model.startswith("swin"):
+        ckpt_meta["window_size"] = args.window_size
 
     steps_per_epoch = max(1, len(train_loader))
     sched = cosine_schedule(
@@ -295,9 +308,10 @@ def main(argv=None):
 
     dump_logits = bool(args.dump_logits) and args.eval
     if dump_logits:
-        logits_fwd = jax.jit(
-            lambda v, im: model.apply(v, im, train=False)
-        )
+        # rebuild the eval step to ALSO return the logits it already
+        # computed — a separate logits-only forward doubled eval
+        # wall-clock through the relay
+        eval_step = jax.jit(make_eval_step(model, return_logits=True))
 
     def validate(epoch):
         variables = {"params": state.params, "quant_stats": state.quant_stats}
@@ -308,19 +322,24 @@ def main(argv=None):
             n = images.shape[0]
             pad = -n % mesh.shape["data"]
             if pad:
-                images = np.concatenate([images, images[:pad]])
-                labels = np.concatenate([labels, labels[:pad]])
-            m = eval_step(
+                # modular indexing — pad can exceed n (small final
+                # batch on a wide data mesh); the metric mask weights
+                # the duplicates out via the valid-count argument
+                idx = np.arange(pad) % n
+                images = np.concatenate([images, images[idx]])
+                labels = np.concatenate([labels, labels[idx]])
+            out = eval_step(
                 variables,
                 put_global(images),
                 put_global(labels),
                 jnp.float32(n),
             )
             if dump_logits:
-                dumped_logits.append(
-                    np.asarray(logits_fwd(variables, put_global(images)))[:n]
-                )
+                m, batch_logits = out
+                dumped_logits.append(np.asarray(batch_logits)[:n])
                 dumped_labels.append(np.asarray(labels)[:n])
+            else:
+                m = out
             acc1.update(float(m["acc1"]), n)
             acc5.update(float(m["acc5"]), n)
         if dump_logits:
@@ -410,7 +429,7 @@ def main(argv=None):
             best_acc1 = acc1
             save_checkpoint(
                 os.path.join(args.output_dir, "best.pkl"),
-                state, {"epoch": epoch, "best_acc1": best_acc1},
+                state, {"epoch": epoch, "best_acc1": best_acc1, **ckpt_meta},
             )
         # rolling resume checkpoint EVERY epoch: the reference keeps
         # only the accuracy-best model (quant_train.py:256-261, its
@@ -418,7 +437,8 @@ def main(argv=None):
         # resume impossible while accuracy hasn't improved — a real
         # recovery gap for long runs (SURVEY §5.3/5.4)
         save_checkpoint(
-            ckpt_path, state, {"epoch": epoch, "best_acc1": best_acc1}
+            ckpt_path, state,
+            {"epoch": epoch, "best_acc1": best_acc1, **ckpt_meta},
         )
         logging.info("best acc@1: %.3f", best_acc1)
 

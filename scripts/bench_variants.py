@@ -62,10 +62,17 @@ def main():
         mk["gelu_stable"] = True
     rng = jax.random.PRNGKey(0)
     # freezing through the relay is minutes; cache the random-weight
-    # artifact on disk (latency is weight-agnostic)
-    cache = (
-        f"/tmp/ivit_bench_artifact_sm{mk.get('softmax_bits', 16)}"
-        f"_g{int(mk.get('gelu_stable', False))}.pkl"
+    # artifact on disk (latency is weight-agnostic). User-owned cache
+    # dir (not world-writable /tmp — pickle) keyed on a format version:
+    # bump V when freeze_vit's artifact layout changes so stale graphs
+    # are never silently benchmarked.
+    V = 2
+    cache_dir = os.path.expanduser("~/.cache/ivit_tpu/bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir,
+        f"artifact_v{V}_sm{mk.get('softmax_bits', 16)}"
+        f"_g{int(mk.get('gelu_stable', False))}.pkl",
     )
     import pickle
 

@@ -1,7 +1,14 @@
 """Batch-128 int8 throughput across the model zoo (one v5e chip).
 
-Usage: python scripts/bench_zoo.py [model ...]
+Usage: python scripts/bench_zoo.py [--ship] [model ...]
 Defaults to the six flagship configs. Loop-timed with final readback.
+
+``--ship`` freezes each model in the shipping perf config (the one
+bench.py times): 8-bit softmax probabilities + pure int8 attn@V for the
+ViT family — the reference TVM graph's own deploy precision — and the
+elementwise-stable ShiftGELU for both families (Swin's softmax is
+already 8-bit by spec). Without it, models run the reference's 16-bit
+QAT-spec precision.
 """
 
 import sys
@@ -31,7 +38,9 @@ def time_fn(fn, x, iters=ITERS):
 
 
 def main():
-    names = sys.argv[1:] or [
+    argv = sys.argv[1:]
+    ship = "--ship" in argv
+    names = [a for a in argv if not a.startswith("--")] or [
         "deit_tiny", "deit_small", "deit_base",
         "swin_tiny", "swin_small", "swin_base",
     ]
@@ -39,7 +48,12 @@ def main():
     images = jax.random.normal(rng, (BATCH, 224, 224, 3))
     for name in names:
         is_swin = name.startswith("swin")
-        model = create_model(name)
+        mk = {}
+        if ship:
+            mk["gelu_stable"] = True
+            if not is_swin:
+                mk["softmax_bits"] = 8
+        model = create_model(name, **mk)
         sample = jax.random.normal(rng, (2, 224, 224, 3))
         variables = jax.jit(lambda r, x, m=model: m.init(r, x, train=True))(
             jax.random.PRNGKey(1), sample
