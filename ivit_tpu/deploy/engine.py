@@ -218,15 +218,16 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     # N = 577) must take the XLA path, which switched to the 3-limb
     # exact sum for those rows.
     n_tokens = (cfg["img_size"] // p) ** 2 + 1
-    if p_attn and n_tokens > 256:
+    if (p_attn or p_attn2 or p_softmax) and n_tokens > 256:
         import warnings
 
         warnings.warn(
-            f"fused attention disabled: N={n_tokens} > 256 exceeds the "
-            "kernel's exact-row-sum bound; using the XLA path",
+            f"fused attention/softmax kernels disabled: N={n_tokens} > "
+            "256 exceeds the kernels' exact-row-sum bound; using the "
+            "XLA path (3-limb exact sum)",
             stacklevel=2,
         )
-        p_attn = False
+        p_attn = p_attn2 = p_softmax = False
     if sm_bits == 8:
         # int8 probabilities make @V a single native int8 MXU dot: the
         # base-256 split ("exact") and the f32-HIGH dot collapse to the

@@ -11,6 +11,12 @@ rebuild of /root/reference/models/quantization_utils/quant_modules.py:448-497).
 Row layout: callers flatten the attention logits to (M, Npad) with the
 key axis padded to a lane multiple; padded columns are forced to zero
 probability exactly (the unpadded reference semantics).
+
+The in-kernel value chain lives in ``_shiftmax_common`` (one source of
+truth shared with the fused attention kernels); its 2-limb exact row
+sum bounds valid rows to ≤ 256 columns — asserted here, and
+deploy/engine disables this kernel for longer sequences (the XLA path
+switches to the 3-limb exact sum there).
 """
 
 from __future__ import annotations
@@ -22,15 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_I32_MAX = 2.0**31 - 1.0
+from ._shiftmax_common import (
+    I32_MAX,
+    exact_rowsum_2limb,
+    norm_factor,
+    shift_exp_rows,
+)
 
-
-def _exp2i(k):
-    # exact 2^k for integer-valued f32 k >= -126 via the exponent field
-    # (ldexp); avoids the transcendental exp2 on the VPU.
-    return jax.lax.bitcast_convert_type(
-        (k.astype(jnp.int32) + 127) << 23, jnp.float32
-    )
 _ROWS = 256  # rows per grid step
 
 
@@ -45,27 +49,9 @@ def _kernel(x_ref, hi_ref, lo_ref, *, r1, scale, n, out_bits, n_valid):
     q = jnp.where(valid, q, -(2.0**20))
     q = q - jnp.max(q, axis=-1, keepdims=True)
 
-    # shift-exp (ops/shiftexp.py spec): x·log2e ≈ x + x/2 − x/16
-    q = q + jnp.floor(q / 2.0) - jnp.floor(q / 16.0)
-    x0 = jnp.floor(-1.0 / scale)
-    q = jnp.maximum(q, n * x0)
-    qt = jnp.floor(q / x0)
-    r = q - x0 * qt
-    exp_int = jnp.floor((r - 2.0 * x0) * _exp2i(n - 1.0 - qt))
-    exp_int = jnp.clip(exp_int, 0.0, _I32_MAX)
-    exp_int = jnp.where(valid, exp_int, 0.0)
-
-    # order-independent exact row sum (ops/shiftmax.py spec)
-    ehi = jnp.floor(exp_int * (1.0 / 2.0**16))
-    elo = exp_int - ehi * (2.0**16)
-    exp_sum = (
-        jnp.sum(ehi, axis=-1, keepdims=True) * (2.0**16)
-        + jnp.sum(elo, axis=-1, keepdims=True)
-    )
-    exp_sum = jnp.clip(exp_sum, 1.0, _I32_MAX)
-    # 2^-k folded into the per-row factor (exact; ops/shiftmax.py)
-    factor = jnp.floor(_I32_MAX / exp_sum) * (1.0 / 2.0 ** (32 - out_bits))
-    sm = jnp.floor(exp_int * factor)
+    exp_int = shift_exp_rows(q, scale, n, valid)
+    exp_sum = jnp.clip(exact_rowsum_2limb(exp_int), 1.0, I32_MAX)
+    sm = jnp.floor(exp_int * norm_factor(exp_sum, out_bits))
 
     # base-256 split for the two-int8-matmul decomposition:
     # sm = 256·hi + (lo′ + 128), exact for sm ∈ [0, 2^15].
@@ -90,6 +76,11 @@ def fused_requant_shiftmax(
     """
     M, Npad = x.shape
     assert Npad % 128 == 0, Npad
+    assert n_valid <= 256, (
+        f"fused_requant_shiftmax requires <=256 valid columns (2-limb "
+        f"exact-row-sum bound), got {n_valid}; use the XLA path "
+        f"(ops/shiftmax widens to a 3-limb split for long rows)"
+    )
     rows = min(_ROWS, M)
     grid = (pl.cdiv(M, rows),)
 

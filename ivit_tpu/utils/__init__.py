@@ -1,5 +1,6 @@
 from .metrics import AverageMeter, MetricLogger
 from .compile_cache import enable_compile_cache
+from .profile_env import profile_model_kwargs
 from .checkpoint import (
     save_checkpoint,
     load_checkpoint,
@@ -14,6 +15,7 @@ __all__ = [
     "AverageMeter",
     "MetricLogger",
     "enable_compile_cache",
+    "profile_model_kwargs",
     "save_checkpoint",
     "load_checkpoint",
     "load_checkpoint_raw",

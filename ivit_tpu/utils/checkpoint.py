@@ -79,8 +79,13 @@ def _resolve(path: str) -> str:
             # versions: ckpt-20250816.pth) are not mistaken for hashes
             # and refused — an 8+-digit sha prefix with no letter is
             # ~2% of real hashes, and those simply skip verification.
+            # IVIT_SKIP_HASH_CHECK=1 is the escape hatch for legitimate
+            # filenames whose hex-looking suffix is NOT a hash (e.g.
+            # weights-beefcafe.pth) — otherwise such a URL would be
+            # re-downloaded and refused forever with no recourse.
             m = re.search(r"-([0-9a-f]{8,64})\.[^.]+$", fname)
-            if m and re.search(r"[a-f]", m.group(1)):
+            if (m and re.search(r"[a-f]", m.group(1))
+                    and os.environ.get("IVIT_SKIP_HASH_CHECK") != "1"):
                 digest = hashlib.sha256()
                 with open(tmp, "rb") as f:
                     for chunk in iter(lambda: f.read(1 << 20), b""):
@@ -90,7 +95,9 @@ def _resolve(path: str) -> str:
                     raise ValueError(
                         f"checkpoint {path!r} failed its filename-hash "
                         f"check: sha256 {digest.hexdigest()[:16]}… does "
-                        f"not start with {m.group(1)!r}"
+                        f"not start with {m.group(1)!r}. If the suffix "
+                        f"is not actually a hash, set "
+                        f"IVIT_SKIP_HASH_CHECK=1."
                     )
             os.replace(tmp, dst)
         return dst

@@ -138,6 +138,35 @@ def build_parser():
     return p
 
 
+def check_resume_spec(extra: dict, ckpt_meta: dict, model_name: str):
+    """The same spec guard convert_model applies, at --resume/--eval
+    time: the checkpoint records the spec-level model properties it was
+    trained under (softmax_bits, gelu_stable, geometry); resuming it
+    into a differently-built model is shape-compatible (the pytree
+    loads fine) but silently value-wrong — scales trained for one
+    integer formulation evaluated under another. Raise loudly and say
+    which flags to pass. Pre-metadata checkpoints (no recorded keys)
+    skip the check."""
+    for key, built in ckpt_meta.items():
+        recorded = extra.get(key)
+        if (key == "softmax_bits" and recorded == 16
+                and model_name.startswith("swin")):
+            # legacy false record: swin checkpoints written before this
+            # guard recorded the (ignored) ViT flag default, not the
+            # model's true 8-bit spec
+            continue
+        if recorded is not None and recorded != built:
+            raise SystemExit(
+                f"--resume checkpoint was trained with {key}="
+                f"{recorded!r} but this run builds the model with "
+                f"{key}={built!r}. Pass the matching flags (the "
+                f"checkpoint records: "
+                + ", ".join(f"{k}={extra[k]!r}" for k in ckpt_meta
+                            if extra.get(k) is not None)
+                + ")."
+            )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     # The reference forces min_lr = lr/15 (quant_train.py:202).
@@ -219,11 +248,16 @@ def main(argv=None):
     # EXACT model the scales were trained for — softmax_bits/gelu_stable
     # are spec-level model properties, and silently freezing a
     # mismatched artifact would degrade accuracy with no error.
+    # Swin's probability precision is fixed at 8 by spec (models/swin.py
+    # hardcodes IntSoftmax(out_bits=8), matching the reference's
+    # swin_quant); --softmax-bits is a ViT knob, so the metadata records
+    # the model's TRUE spec, not the (ignored) flag.
     ckpt_meta = {
         "model": args.model,
         "input_size": args.input_size,
         "nb_classes": args.nb_classes,
-        "softmax_bits": args.softmax_bits,
+        "softmax_bits": 8 if args.model.startswith("swin")
+        else args.softmax_bits,
         "gelu_stable": bool(args.gelu_stable),
     }
     if args.model.startswith("swin"):
@@ -263,6 +297,7 @@ def main(argv=None):
     ckpt_path = os.path.join(args.output_dir, "checkpoint.pkl")
     if args.resume:
         state, extra = load_checkpoint(args.resume, state)
+        check_resume_spec(extra, ckpt_meta, args.model)
         start_epoch = extra.get("epoch", 0) + 1
         best_acc1 = extra.get("best_acc1", 0.0)
         logging.info("resumed from %s at epoch %d", args.resume, start_epoch)

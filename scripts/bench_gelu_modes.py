@@ -28,7 +28,7 @@ P = math.ceil(1.0 / (1.702 * S_IN))
 def run(fn, x0):
     @jax.jit
     def chain(x):
-        return jax.lax.fori_loop(0, REPS, lambda i, x: fn(x), x0)
+        return jax.lax.fori_loop(0, REPS, lambda i, c: fn(c), x)
 
     out = chain(x0)
     out.block_until_ready()

@@ -54,12 +54,10 @@ def time_fn(fn, x, iters=ITERS):
 def main():
     import os
 
+    from ivit_tpu.utils import profile_model_kwargs
+
     names = sys.argv[1:] or ["default"]
-    mk = {}
-    if os.environ.get("IVIT_PROFILE_SM_BITS"):
-        mk["softmax_bits"] = int(os.environ["IVIT_PROFILE_SM_BITS"])
-    if os.environ.get("IVIT_PROFILE_GELU_STABLE"):
-        mk["gelu_stable"] = True
+    mk = profile_model_kwargs()
     rng = jax.random.PRNGKey(0)
     # freezing through the relay is minutes; cache the random-weight
     # artifact on disk (latency is weight-agnostic). User-owned cache

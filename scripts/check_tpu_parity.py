@@ -28,12 +28,9 @@ def main():
     is_swin = name.startswith("swin")
     freeze = freeze_swin if is_swin else freeze_vit
     build = build_swin_infer if is_swin else build_vit_infer
-    import os
-    mk = {}
-    if not is_swin and os.environ.get("IVIT_PROFILE_SM_BITS"):
-        mk["softmax_bits"] = int(os.environ["IVIT_PROFILE_SM_BITS"])
-    if os.environ.get("IVIT_PROFILE_GELU_STABLE"):
-        mk["gelu_stable"] = True
+    from ivit_tpu.utils import profile_model_kwargs
+
+    mk = profile_model_kwargs(is_swin)
     model = create_model(name, **mk)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))

@@ -25,13 +25,11 @@ def capture():
     from ivit_tpu.deploy.swin_engine import build_swin_infer, freeze_swin
     from ivit_tpu.models import create_model
 
+    from ivit_tpu.utils import profile_model_kwargs
+
     name = _os.environ.get("IVIT_PROFILE_MODEL", "deit_small")
     is_swin = name.startswith("swin")
-    mk = {}
-    if not is_swin and _os.environ.get("IVIT_PROFILE_SM_BITS"):
-        mk["softmax_bits"] = int(_os.environ["IVIT_PROFILE_SM_BITS"])
-    if _os.environ.get("IVIT_PROFILE_GELU_STABLE"):
-        mk["gelu_stable"] = True
+    mk = profile_model_kwargs(is_swin)
     model = create_model(name, **mk)
     rng = jax.random.PRNGKey(0)
     sample = jax.random.normal(rng, (2, 224, 224, 3))

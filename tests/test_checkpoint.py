@@ -161,3 +161,23 @@ class TestUrlResolve:
         # wrong hash is deleted and raises
         with pytest.raises(ValueError, match="filename-hash"):
             _resolve("https://x.example/deit-deadbeef.pth")
+
+    def test_hash_check_escape_hatch(self, monkeypatch, tmp_path):
+        """A hex-looking suffix that is NOT a hash (weights-beefcafe.pth)
+        would otherwise be refused forever; IVIT_SKIP_HASH_CHECK=1 is
+        the documented escape hatch."""
+        import urllib.request
+
+        from ivit_tpu.utils.checkpoint import _resolve
+
+        monkeypatch.setenv("HOME", str(tmp_path))
+        payload = b"not named after its hash"
+
+        def fake_retrieve(url, dst):
+            with open(dst, "wb") as f:
+                f.write(payload)
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        monkeypatch.setenv("IVIT_SKIP_HASH_CHECK", "1")
+        p = _resolve("https://x.example/weights-beefcafe.pth")
+        assert open(p, "rb").read() == payload

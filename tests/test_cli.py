@@ -54,3 +54,48 @@ class TestCLIDefaults:
                      "vit_base", "vit_large",
                      "swin_tiny", "swin_small", "swin_base"]:
             assert name in MODEL_REGISTRY
+
+
+class TestResumeSpecGuard:
+    """--resume must refuse a checkpoint whose recorded spec-level
+    model properties (softmax_bits, gelu_stable, geometry) differ from
+    the model this run builds — the same silent-mismatch hazard
+    convert_model guards against (see quant_train.check_resume_spec)."""
+
+    META = {
+        "model": "deit_small",
+        "input_size": 224,
+        "nb_classes": 1000,
+        "softmax_bits": 16,
+        "gelu_stable": False,
+    }
+
+    def test_mismatch_raises(self):
+        import pytest
+
+        recorded = dict(self.META, softmax_bits=8, gelu_stable=True)
+        with pytest.raises(SystemExit, match="softmax_bits"):
+            quant_train.check_resume_spec(recorded, self.META, "deit_small")
+
+    def test_match_passes(self):
+        quant_train.check_resume_spec(dict(self.META), self.META,
+                                      "deit_small")
+
+    def test_pre_metadata_checkpoint_passes(self):
+        # checkpoints written before the metadata record skip the check
+        quant_train.check_resume_spec({"epoch": 3}, self.META, "deit_small")
+
+    def test_legacy_swin_softmax16_record_tolerated(self):
+        # swin checkpoints written before the fix recorded the (ignored)
+        # ViT flag default 16, not the model's true 8-bit spec
+        meta = dict(self.META, model="swin_tiny", softmax_bits=8,
+                    window_size=7)
+        recorded = dict(meta, softmax_bits=16)
+        quant_train.check_resume_spec(recorded, meta, "swin_tiny")
+
+    def test_geometry_mismatch_raises(self):
+        import pytest
+
+        recorded = dict(self.META, input_size=384)
+        with pytest.raises(SystemExit, match="input_size"):
+            quant_train.check_resume_spec(recorded, self.META, "deit_small")

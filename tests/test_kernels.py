@@ -207,3 +207,17 @@ class TestWindowAttentionKernel:
 
     def test_bit_exact_masked(self):
         self._run(masked=True)
+
+
+class TestShiftmaxKernelRowBound:
+    def test_long_rows_refused(self):
+        """>256 valid columns exceed the 2-limb exact-row-sum bound
+        (the XLA path widens to a 3-limb split there; the kernel must
+        fail loudly, not silently reintroduce f32 rounding)."""
+        import pytest
+
+        x = jnp.zeros((8, 640), jnp.int32)
+        with pytest.raises(AssertionError, match="256"):
+            fused_requant_shiftmax(
+                x, 1e-4, 0.05, n_valid=577, out_bits=16, interpret=True
+            )
