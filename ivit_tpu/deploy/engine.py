@@ -155,6 +155,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                     attn_v_mode: str = "f32",
                     sm_int16: bool = False,
                     sm_split: bool = False,
+                    sm_packed: bool = False,
                     sm_int_lanes: bool = False,
                     proj_4d: bool = False,
                     res_split: bool = False,
@@ -335,6 +336,7 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
         sm, _ = shiftmax(
             a8, ssm, out_bits=sm_bits, interp=DEPLOY,
             split_normalize=sm_split,
+            packed_exp=sm_packed,
             static_p=math.ceil(1.0 / float(blk["s_attn_sm_in"])),
         )
         sm8 = _mat(sm, jnp.int8)
@@ -510,7 +512,8 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
             # margin for host/device floor disagreement in the gate.
             h_p = math.floor(1.0 / float(blk["s_attn_sm_in"]))
             if (
-                sm_int_lanes and not sm_split and 1 <= h_p <= 500
+                sm_int_lanes and not sm_split and not sm_packed
+                and 1 <= h_p <= 500
                 and a8.shape[-1] <= 256  # int twin's row-sum bound
             ):
                 sm, _ = shiftmax_int_deploy(a8, ssm, out_bits=sm_bits)
@@ -518,11 +521,15 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
                 # sm_split recomputes the exp instead of materializing
                 # it (value-identical; see ops/shiftmax.py
                 # split_normalize) — measured slightly slower on v5e at
-                # batch 128, kept selectable. static_p enables the
-                # value-identical guard elisions + int32 row sum.
+                # batch 128, kept selectable. sm_packed hands the
+                # pass-boundary exp across HBM as a packed u16 instead
+                # of f32 (value-identical; ops/shiftmax packed_exp).
+                # static_p enables the value-identical guard elisions
+                # + int32 row sum.
                 sm, _ = shiftmax(
                     a8, ssm, out_bits=sm_bits, interp=DEPLOY,
                     split_normalize=sm_split,
+                    packed_exp=sm_packed,
                     static_p=math.ceil(1.0 / float(blk["s_attn_sm_in"])),
                 )
             if sm_int16:

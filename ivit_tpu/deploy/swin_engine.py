@@ -205,6 +205,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                      pallas_interpret: bool = False,
                      sm_int_lanes: bool = False,
                      gelu_int_lanes: bool = False,
+                     sm_packed: bool = False,
                      pallas_ops: tuple = ()):
     """Jittable int8 Swin inference: float NHWC images → logits.
 
@@ -331,13 +332,18 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             # scale admits it (bit-identical; see ops/shiftmax.py)
             h_p = math.floor(1.0 / float(blk["s_bias"]))
             if (
-                sm_int_lanes and 1 <= h_p <= 500
+                sm_int_lanes and not sm_packed and 1 <= h_p <= 500
                 and a8.shape[-1] <= 256  # int twin's row-sum bound
             ):
                 sm, _ = shiftmax_int_deploy(a8, sb, out_bits=8)
             else:
+                # sm_packed: u16 pass-boundary exp (value-identical;
+                # ops/shiftmax packed_exp). Unmasked windows only — the
+                # SW-MSA branch's f32 mask addend breaks the integer
+                # (m, k) decomposition the packing encodes.
                 sm, _ = shiftmax(
                     a8, sb, out_bits=8, interp=DEPLOY,
+                    packed_exp=sm_packed,
                     static_p=math.ceil(1.0 / float(blk["s_bias"])),
                 )
         sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])

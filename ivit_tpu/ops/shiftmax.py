@@ -34,6 +34,7 @@ def shiftmax(
     split_normalize: bool = False,
     static_p: int | None = None,
     in_lo: float = -255.0,
+    packed_exp: bool = False,
 ):
     """Integer softmax over the last axis.
 
@@ -55,6 +56,26 @@ def shiftmax(
     int32 row sum that equals the hi/lo-split f32 sum bit-for-bit (both
     produce the exact integer sum and round once at the same point).
 
+    ``packed_exp``: deploy-only HBM-traffic knob, **value-identical**.
+    The shift-exp value has at most ``⌈log2(2p)⌉ ≤ 12`` significant
+    bits: ``exp = m·2^(k−1)`` with ``m = r − 2x0 ∈ (p, 2p]`` and
+    ``k = n − qt ∈ [0, n]``. The two softmax passes (exp+row-sum, then
+    ``⌊exp·factor⌋`` — the factor needs the finished sum, so XLA must
+    materialize the boundary tensor) normally hand a 4-byte f32 ``exp``
+    across HBM; with ``packed_exp`` the boundary is instead the u16
+    ``k·4096 + m`` (encode is free — ``m``/``k`` are chain
+    intermediates; an optimization_barrier stops XLA re-deriving f32
+    exp across it) and the consumer decodes with a few int/f32 ops.
+    Bit-identity of the decode: for ``k ≥ 1``, ``m·2^(k−1)`` is exact
+    in f32 (≤12 mantissa bits) so the spec's inner floor is a no-op and
+    ``⌊(m·factor)·2^(k−1)⌋ = ⌊(m·2^(k−1))·factor⌋`` because scaling by
+    a power of two is exact and commutes with f32 rounding; for
+    ``k = 0`` the inner ``⌊m/2⌋`` binds, so the encoder packs
+    ``m′ = 2⌊m/2⌋`` (value-identical by the same argument applied to
+    ``m′/2``). Requires ``static_p ≤ 2045`` (``m ≤ 2p + 2 < 2^12``)
+    and ``n ≤ 15`` (``k`` fits 4 bits); silently falls back to the
+    plain path otherwise. Mutually exclusive with ``split_normalize``.
+
     Returns ``(q_out, scale_out)`` with ``scale_out = 1/2^(out_bits−1)``.
     """
     if mask is not None:
@@ -69,9 +90,43 @@ def shiftmax(
     q = q - q_max
 
     el_clamp, el_clip = exp_elisions(static_p, n, in_lo=in_lo)
-    exp_int, _ = int_exp_shift(
-        q, scale, n, interp, elide_clamp=el_clamp, elide_clip=el_clip
+    use_packed = (
+        packed_exp
+        and not interp.is_sim
+        and mask is None
+        # in_lo = -inf marks a pre-masked (non-integral) input — e.g.
+        # the Swin engine adds the f32 SW-MSA mask before calling with
+        # mask=None — which breaks the integer (m, k) decomposition
+        and math.isfinite(in_lo)
+        and static_p is not None
+        and static_p <= 2045
+        and n <= 15
+        and el_clip  # always true under the p gate; asserts the proof
     )
+    if use_packed:
+        assert not split_normalize, "packed_exp excludes split_normalize"
+        # Inline int_exp_shift so the pack can reuse its intermediates
+        # (every op below is textually the DEPLOY chain from
+        # ops/shiftexp.int_exp_shift — same expressions, same order).
+        scale_f = jax.lax.stop_gradient(jnp.asarray(scale, jnp.float32))
+        qc = q + interp.floor(q / 2.0) - interp.floor(q / 16.0)
+        x0 = jnp.floor(-1.0 / scale_f)
+        if not el_clamp:
+            qc = jnp.maximum(qc, n * x0)
+        qt = interp.floor(qc / x0)
+        r = qc - x0 * qt
+        m = r - 2.0 * x0                 # integer-valued, in (p, 2p]
+        k = float(n) - qt                # integer-valued, in [0, n]
+        exp_int = interp.floor(m * interp.exp2(k - 1.0))
+        # k = 0 is the one case where the spec's inner floor binds
+        # (exp = ⌊m/2⌋): fold it into the packed mantissa so the
+        # decoder is branch-free.
+        m_packed = jnp.where(k > 0.5, m, interp.floor(m * 0.5) * 2.0)
+        packed = (k * 4096.0 + m_packed).astype(jnp.uint16)
+    else:
+        exp_int, _ = int_exp_shift(
+            q, scale, n, interp, elide_clamp=el_clamp, elide_clip=el_clip
+        )
     if (
         static_p is not None
         and not interp.is_sim
@@ -94,6 +149,17 @@ def shiftmax(
     factor = interp.floor(_I32_MAX / exp_sum) * (
         1.0 / 2.0 ** (32 - out_bits)
     )
+
+    if use_packed:
+        # The barrier forces the u16 to BE the pass boundary: without
+        # it XLA would CSE the decode with the (cheaper-looking) f32
+        # exp_int above and materialize 4 bytes/element again.
+        pi = jax.lax.optimization_barrier(packed).astype(jnp.int32)
+        kf = (pi >> 12).astype(jnp.float32)
+        mf = (pi & 0xFFF).astype(jnp.float32)
+        q_out = interp.floor((mf * factor) * interp.exp2(kf - 1.0))
+        scale_out = jnp.asarray(1.0 / 2.0 ** (out_bits - 1), jnp.float32)
+        return q_out, scale_out
 
     if split_normalize:
         # Deploy perf knob, value-identical: evaluate the max-subtract

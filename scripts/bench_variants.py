@@ -26,6 +26,7 @@ VARIANTS = {
     "pallas_sm": {"pallas_ops": ("softmax",), "attn_v_mode": "exact"},
     "pallas_attn": {"pallas_ops": ("attention",)},
     "smsplit": {"sm_split": True},
+    "smpack": {"sm_packed": True},
     "lingelu": {"pallas_ops": ("linear_gelu",)},
     "intsm": {"sm_int_lanes": True},
     "smsplit16": {"sm_split": True, "sm_int16": True},

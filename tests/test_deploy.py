@@ -140,6 +140,7 @@ class TestEngineVariantMatrix:
         variants = [
             {"sm_int16": True},
             {"sm_split": True},
+            {"sm_packed": True},
             {"sm_int_lanes": True},
             {"proj_4d": True},
             {"res_split": True},
@@ -198,6 +199,7 @@ class TestSm8Mode:
         for kw in (
             dict(sm_int_lanes=True),
             dict(sm_split=True),
+            dict(sm_packed=True),
             dict(proj_4d=True),
             dict(res_split=True),
             dict(attn_v_mode="exact"),  # collapses to the int8 dot
@@ -303,6 +305,7 @@ class TestGeluStable:
         for kw in (
             dict(sm_int_lanes=True),
             dict(sm_split=True),
+            dict(sm_packed=True),
             dict(res_split=True),
             dict(attn_v_mode="exact"),
             dict(gelu_int_lanes=True),  # int32-lane stable-GELU twin

@@ -394,6 +394,40 @@ class TestStaticElisions:
                 np.asarray(fast), np.asarray(ref), err_msg=f"s={scale}"
             )
 
+    def test_shiftmax_packed_exp_bit_identical(self):
+        """packed_exp hands the pass-boundary exp across HBM as a u16
+        (k·4096 + m) instead of f32 — must stay bit-for-bit equal to
+        the plain static_p path over the int8 domain, a p sweep
+        crossing the clamp-elision boundary (p≈27) and the packing gate
+        (p ≤ 2045), both output widths, and adversarial all-equal /
+        all-extreme rows (which exercise the k = 0 packed-floor fold)."""
+        import math
+
+        q8 = np.tile(np.arange(-128, 128, dtype=np.float32), (2, 1))
+        rng = np.random.default_rng(5)
+        rand = rng.integers(-128, 128, (4, 197)).astype(np.float32)
+        adversarial = np.concatenate([
+            np.full((2, 197), -128.0, np.float32),
+            np.zeros((2, 197), np.float32),
+        ])
+        for p in (5, 26, 27, 28, 331, 2045, 2046):
+            scale = 1.0 / (p - 0.5)
+            for q in (jnp.asarray(q8), jnp.asarray(rand),
+                      jnp.asarray(adversarial)):
+                for ob in (8, 16):
+                    ref, _ = shiftmax(
+                        q, jnp.float32(scale), out_bits=ob,
+                        interp=DEPLOY, static_p=p,
+                    )
+                    fast, _ = shiftmax(
+                        q, jnp.float32(scale), out_bits=ob,
+                        interp=DEPLOY, static_p=p, packed_exp=True,
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(fast), np.asarray(ref),
+                        err_msg=f"p={p} out_bits={ob}",
+                    )
+
     def test_shiftgelu_elisions_bit_identical(self):
         import math
 

@@ -104,3 +104,11 @@ class TestSwinGeluStable:
             )(x)
         )
         np.testing.assert_array_equal(dep_int, dep)
+        # packed-u16 softmax boundary (unmasked windows only; masked
+        # SW-MSA blocks fall back inside ops/shiftmax) — value-identical
+        dep_pack = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, sm_packed=True
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_pack, dep)
