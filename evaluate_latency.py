@@ -41,6 +41,10 @@ def main(argv=None):
                         "DeiT-S batch 1) and OFF at larger batches "
                         "(XLA's batched matmuls win at batch 128); "
                         "--no-pallas-attention forces it off")
+    p.add_argument("--sm-packed", action="store_true",
+                   help="hand the softmax pass-boundary exp across HBM "
+                        "as a packed u16 instead of f32 (value-"
+                        "identical; ops/shiftmax packed_exp)")
     args = p.parse_args(argv)
 
     import jax
@@ -97,6 +101,8 @@ def main(argv=None):
         # for ViT, per (window·head) for Swin (kernels/)
         kwargs = dict(use_pallas=True, pallas_ops=("attention",))
         print("engine: fused int8 attention (batch-1 latency regime)")
+    if args.sm_packed:
+        kwargs["sm_packed"] = True
     # AOT compile (the relay.build analogue).
     t0 = time.perf_counter()
     compiled = jax.jit(build_infer(artifact, **kwargs)).lower(images).compile()
