@@ -82,8 +82,24 @@ def main(argv=None):
             return cli_value
         return recorded if recorded is not None else default
 
+    if (args.model is not None and extra.get("model") is not None
+            and extra["model"] != args.model):
+        raise SystemExit(
+            f"--model={args.model} but the checkpoint was trained as "
+            f"{extra['model']!r}"
+        )
+    model_name = args.model or extra.get("model") or "deit_small"
+    args.model = model_name  # downstream code branches on the name
+
+    recorded_sm = extra.get("softmax_bits")
+    if recorded_sm == 16 and model_name.startswith("swin"):
+        # legacy false record, mirrored from quant_train.check_resume_spec:
+        # swin checkpoints written before the metadata fix recorded the
+        # (ignored) ViT flag default 16, not the model's true 8-bit spec
+        # (models/swin.py hardcodes IntSoftmax(out_bits=8))
+        recorded_sm = 8
     sm_bits = _resolve("softmax-bits", args.softmax_bits,
-                       extra.get("softmax_bits"), 16)
+                       recorded_sm, 16)
     gelu_stable = _resolve("gelu-stable", args.gelu_stable,
                            extra.get("gelu_stable"), False)
     # Geometry is equally spec-level: scales/pos-embed were trained at
@@ -95,14 +111,6 @@ def main(argv=None):
                                extra.get("input_size"), 224)
     args.window_size = _resolve("window-size", args.window_size,
                                 extra.get("window_size"), 7)
-    if (args.model is not None and extra.get("model") is not None
-            and extra["model"] != args.model):
-        raise SystemExit(
-            f"--model={args.model} but the checkpoint was trained as "
-            f"{extra['model']!r}"
-        )
-    model_name = args.model or extra.get("model") or "deit_small"
-    args.model = model_name  # downstream code branches on the name
 
     kwargs = dict(num_classes=args.nb_classes, img_size=args.input_size)
     if model_name.startswith("swin"):

@@ -102,6 +102,13 @@ def main(argv=None):
         kwargs = dict(use_pallas=True, pallas_ops=("attention",))
         print("engine: fused int8 attention (batch-1 latency regime)")
     if args.sm_packed:
+        if kwargs.get("pallas_ops"):
+            print(
+                "note: --sm-packed has no effect while the fused "
+                "attention kernel is engaged (softmax runs inside the "
+                "kernel); pass --no-pallas-attention to measure the "
+                "packed XLA softmax boundary"
+            )
         kwargs["sm_packed"] = True
     # AOT compile (the relay.build analogue).
     t0 = time.perf_counter()

@@ -173,6 +173,12 @@ def build_vit_infer(artifact: dict, use_pallas: bool | None = None,
     therefore only engages with ``attn_v_mode="exact"``. Ops whose
     shapes don't meet Pallas tiling fall back automatically.
     """
+    if sm_packed and sm_split:
+        raise ValueError(
+            "sm_packed and sm_split are alternative softmax pass-"
+            "boundary strategies (u16 packing vs recompute) — pass at "
+            "most one"
+        )
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if strict_dyadic:

@@ -74,32 +74,38 @@ def _resolve(path: str) -> str:
         if not os.path.exists(dst):
             tmp = dst + ".tmp"
             urllib.request.urlretrieve(path, tmp)
-            # torch-hub convention: trailing hex token = sha256 prefix.
-            # Require at least one [a-f] so all-digit suffixes (dates,
-            # versions: ckpt-20250816.pth) are not mistaken for hashes
-            # and refused — an 8+-digit sha prefix with no letter is
-            # ~2% of real hashes, and those simply skip verification.
-            # IVIT_SKIP_HASH_CHECK=1 is the escape hatch for legitimate
-            # filenames whose hex-looking suffix is NOT a hash (e.g.
-            # weights-beefcafe.pth) — otherwise such a URL would be
-            # re-downloaded and refused forever with no recourse.
-            m = re.search(r"-([0-9a-f]{8,64})\.[^.]+$", fname)
-            if (m and re.search(r"[a-f]", m.group(1))
-                    and os.environ.get("IVIT_SKIP_HASH_CHECK") != "1"):
-                digest = hashlib.sha256()
-                with open(tmp, "rb") as f:
-                    for chunk in iter(lambda: f.read(1 << 20), b""):
-                        digest.update(chunk)
-                if not digest.hexdigest().startswith(m.group(1)):
-                    os.remove(tmp)
-                    raise ValueError(
-                        f"checkpoint {path!r} failed its filename-hash "
-                        f"check: sha256 {digest.hexdigest()[:16]}… does "
-                        f"not start with {m.group(1)!r}. If the suffix "
-                        f"is not actually a hash, set "
-                        f"IVIT_SKIP_HASH_CHECK=1."
-                    )
             os.replace(tmp, dst)
+        # torch-hub convention: trailing hex token = sha256 prefix.
+        # Require at least one [a-f] so all-digit suffixes (dates,
+        # versions: ckpt-20250816.pth) are not mistaken for hashes
+        # and refused — an 8+-digit sha prefix with no letter is
+        # ~2% of real hashes, and those simply skip verification.
+        # IVIT_SKIP_HASH_CHECK=1 is the escape hatch for legitimate
+        # filenames whose hex-looking suffix is NOT a hash (e.g.
+        # weights-beefcafe.pth) — otherwise such a URL would be
+        # re-downloaded and refused forever with no recourse.
+        # Verified on EVERY load, cache hits included (one sha256 pass
+        # per resolve): a file accepted while IVIT_SKIP_HASH_CHECK=1
+        # was exported globally must not bypass verification forever —
+        # the first load without the env var catches (and evicts) a
+        # corrupted cached download.
+        m = re.search(r"-([0-9a-f]{8,64})\.[^.]+$", fname)
+        if (m and re.search(r"[a-f]", m.group(1))
+                and os.environ.get("IVIT_SKIP_HASH_CHECK") != "1"):
+            digest = hashlib.sha256()
+            with open(dst, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    digest.update(chunk)
+            if not digest.hexdigest().startswith(m.group(1)):
+                os.remove(dst)
+                raise ValueError(
+                    f"checkpoint {path!r} failed its filename-hash "
+                    f"check: sha256 {digest.hexdigest()[:16]}… does "
+                    f"not start with {m.group(1)!r} (corrupt download "
+                    f"evicted from cache — retry to re-fetch). If the "
+                    f"suffix is not actually a hash, set "
+                    f"IVIT_SKIP_HASH_CHECK=1."
+                )
         return dst
     return path
 

@@ -162,6 +162,38 @@ class TestUrlResolve:
         with pytest.raises(ValueError, match="filename-hash"):
             _resolve("https://x.example/deit-deadbeef.pth")
 
+    def test_cache_hit_reverified_after_skip(self, monkeypatch, tmp_path):
+        """A hash-named file accepted while IVIT_SKIP_HASH_CHECK=1 was
+        exported must NOT bypass verification forever: the first resolve
+        without the env var re-hashes the cached file, evicts the
+        corrupt one, and a retry re-downloads."""
+        import urllib.request
+
+        import pytest
+
+        from ivit_tpu.utils.checkpoint import _resolve
+
+        monkeypatch.setenv("HOME", str(tmp_path))
+        calls = []
+
+        def fake_retrieve(url, dst):
+            calls.append(url)
+            with open(dst, "wb") as f:
+                f.write(b"corrupted bytes")
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        url = "https://x.example/deit-deadbeef.pth"
+        monkeypatch.setenv("IVIT_SKIP_HASH_CHECK", "1")
+        p = _resolve(url)  # accepted unverified under the escape hatch
+        assert open(p, "rb").read() == b"corrupted bytes"
+        monkeypatch.delenv("IVIT_SKIP_HASH_CHECK")
+        with pytest.raises(ValueError, match="filename-hash"):
+            _resolve(url)  # cache hit re-verified → evicted
+        assert not list(tmp_path.glob(".cache/ivit_tpu/checkpoints/*.pth"))
+        with pytest.raises(ValueError, match="filename-hash"):
+            _resolve(url)  # eviction forces a fresh download
+        assert len(calls) == 2
+
     def test_hash_check_escape_hatch(self, monkeypatch, tmp_path):
         """A hex-looking suffix that is NOT a hash (weights-beefcafe.pth)
         would otherwise be refused forever; IVIT_SKIP_HASH_CHECK=1 is

@@ -66,6 +66,22 @@ class TestConflicts:
             convert_model.main(["--checkpoint", ckpt,
                                 "--window-size", "7"])
 
+    def test_legacy_swin_softmax16_record_tolerated(self, tmp_path):
+        """Swin checkpoints written before the metadata fix recorded the
+        (ignored) ViT flag default softmax_bits=16, not the model's true
+        8-bit spec — convert_model must accept --softmax-bits 8 on them
+        (mirrors quant_train.check_resume_spec's skip)."""
+        ckpt = _fake_ckpt(
+            tmp_path,
+            {"model": "swin_tiny", "window_size": 4, "input_size": 32,
+             "nb_classes": 10, "softmax_bits": 16},
+        )
+        # past the spec checks → the dummy params fail at freeze
+        with pytest.raises((KeyError, TypeError, AttributeError)):
+            convert_model.main(["--checkpoint", ckpt,
+                                "--softmax-bits", "8",
+                                "--window-size", "4"])
+
     def test_matching_flags_pass_resolution(self, tmp_path):
         # same values as recorded → resolution succeeds; the dummy
         # params then fail at freeze, proving we got past the checks

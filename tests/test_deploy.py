@@ -152,6 +152,12 @@ class TestEngineVariantMatrix:
             )
             np.testing.assert_array_equal(out, base, err_msg=str(kw))
 
+    def test_sm_packed_excludes_sm_split(self):
+        # alternative pass-boundary strategies: refuse at build entry
+        # (before the artifact is touched), not with a mid-trace assert
+        with pytest.raises(ValueError, match="sm_packed"):
+            build_vit_infer({}, sm_split=True, sm_packed=True)
+
 
 class TestSm8Mode:
     """softmax_bits=8 — the reference TVM graph's own deploy precision

@@ -428,6 +428,28 @@ class TestStaticElisions:
                         err_msg=f"p={p} out_bits={ob}",
                     )
 
+    def test_shiftmax_packed_gate_engages(self):
+        """The bit-identity sweep above cannot tell a live packed path
+        from a silently dead gate (both sides would then be the same
+        computation) — pin that packed_exp actually emits the u16 pass
+        boundary, and that the plain path never does."""
+        import math
+
+        import jax
+
+        def trace(**kw):
+            return str(jax.make_jaxpr(
+                lambda x: shiftmax(
+                    x, jnp.float32(1.0 / 330.5), out_bits=8,
+                    interp=DEPLOY, static_p=331, **kw,
+                )[0]
+            )(jnp.zeros((4, 197), jnp.float32)))
+
+        assert "u16" in trace(packed_exp=True)
+        assert "u16" not in trace()
+        # the gate must refuse a pre-masked (non-integral) input
+        assert "u16" not in trace(packed_exp=True, in_lo=-math.inf)
+
     def test_shiftgelu_elisions_bit_identical(self):
         import math
 
