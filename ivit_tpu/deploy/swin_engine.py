@@ -206,6 +206,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                      sm_int_lanes: bool = False,
                      gelu_int_lanes: bool = False,
                      sm_packed: bool = False,
+                     scores_f32: bool = False,
                      pallas_ops: tuple = ()):
     """Jittable int8 Swin inference: float NHWC images → logits.
 
@@ -296,11 +297,28 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             ).reshape(Bw, H, Npad, hd)[:, :, :N]
             return _proj_out(c8, blk, H, hd, C)
 
-        attn = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
-            preferred_element_type=jnp.int32,
-        )  # (Bw, H, N, N)
+        if scores_f32:
+            # bf16×bf16→f32 MXU dot instead of int8→s32: **bit-exact**
+            # for these window shapes — int8 carriers are exactly
+            # representable in bf16 (|v| ≤ 128 < 2^8 mantissa bound),
+            # every product ≤ 128² = 2^14, and the f32 accumulator
+            # stays exact while hd·2^14 < 2^24 (gated below). The s32
+            # score tensor (and its layout copies around the N=49
+            # batched dots — the profiled ~5 ms Swin pathology) never
+            # exists; the requant consumes the f32 directly, which is
+            # the same value the implicit s32→f32 promotion produced.
+            assert hd * 128 * 128 < 2**24, hd
+            attn = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
+                preferred_element_type=jnp.float32,
+            )  # (Bw, H, N, N)
+        else:
+            attn = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
+                preferred_element_type=jnp.int32,
+            )  # (Bw, H, N, N)
         s_attn = sa1 * sa1 * np.float32(float(hd) ** -0.5)
         s1 = _scale(blk["s_attn1"])
         a8 = _requant(attn, s_attn / s1, *_INT8, jnp.float32)
@@ -346,16 +364,26 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                     packed_exp=sm_packed,
                     static_p=math.ceil(1.0 / float(blk["s_bias"])),
                 )
-        sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0, 127])
         s_sm = 1.0 / 2.0**7
 
         # attn (Bw,H,N,K) @ v (Bw,K,H,hd) with batch dims (0,1)/(0,2):
         # ctx (Bw,H,N,hd), no transposed copies (engine.py pattern)
-        ctx = jax.lax.dot_general(
-            sm8, v,
-            dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
-            preferred_element_type=jnp.int32,
-        )
+        if scores_f32:
+            # same exactness argument as q@kᵀ: probs ∈ [0, 127], v int8,
+            # N·127·128 < 2^24 for any realistic window
+            assert N * 128 * 128 < 2**24, N
+            ctx = jax.lax.dot_general(
+                sm.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0,127])
+            ctx = jax.lax.dot_general(
+                sm8, v,
+                dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
+                preferred_element_type=jnp.int32,
+            )
         s_ctx = s_sm * sa1
 
         so = _scale(blk["s_attn_out"])

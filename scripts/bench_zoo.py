@@ -1,7 +1,10 @@
 """Batch-128 int8 throughput across the model zoo (one v5e chip).
 
-Usage: python scripts/bench_zoo.py [--ship] [model ...]
+Usage: python scripts/bench_zoo.py [--ship] [--smpack] [--scoresf32]
+                                   [model ...]
 Defaults to the six flagship configs. Loop-timed with final readback.
+``--smpack`` / ``--scoresf32`` select the bit-identical engine variants
+(packed-u16 softmax boundary; bf16→f32 window dots, Swin only).
 
 ``--ship`` freezes each model in the shipping perf config (the one
 bench.py times): 8-bit softmax probabilities + pure int8 attn@V for the
@@ -61,7 +64,12 @@ def main():
         freeze = freeze_swin if is_swin else freeze_vit
         build = build_swin_infer if is_swin else build_vit_infer
         artifact = freeze(model, jax.tree.map(np.asarray, variables))
-        fn = jax.jit(build(artifact))
+        kw = {}
+        if "--smpack" in argv:
+            kw["sm_packed"] = True
+        if "--scoresf32" in argv and is_swin:
+            kw["scores_f32"] = True
+        fn = jax.jit(build(artifact, **kw))
         t = time_fn(fn, images)
         print(f"{name:12s} {t*1e3:8.2f} ms  {BATCH/t:8.1f} img/s", flush=True)
 

@@ -112,3 +112,18 @@ class TestSwinGeluStable:
             )(x)
         )
         np.testing.assert_array_equal(dep_pack, dep)
+        # bf16×bf16→f32 window dots (value-identical: int8 carriers are
+        # bf16-exact and every partial sum stays below 2^24)
+        dep_f32 = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, scores_f32=True
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_f32, dep)
+        dep_both = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, scores_f32=True,
+                sm_packed=True,
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_both, dep)
