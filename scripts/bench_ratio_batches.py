@@ -39,13 +39,20 @@ def main():
     )
     artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
 
-    for batch in (1, 8, 128, 256):
+    batches = [int(b) for b in sys.argv[1:]] or [1, 8, 64, 96, 128, 160, 256]
+    for batch in batches:
         iters = 100 if batch <= 8 else 30
         images = jax.random.normal(rng, (batch, 224, 224, 3))
         t_fp32 = time_fn(jax.jit(_float_vit_infer(artifact)), images, iters)
         t_int8 = time_fn(jax.jit(build_vit_infer(artifact)), images, iters)
+        # bit-identical packed-boundary variant (bench.py auto-selects
+        # between the two; the ratio sweep shows both)
+        t_pack = time_fn(
+            jax.jit(build_vit_infer(artifact, sm_packed=True)), images, iters
+        )
         row = (f"batch {batch:4d}: fp32 {t_fp32*1e3:7.2f} ms  "
-               f"int8 {t_int8*1e3:7.2f} ms  ratio {t_fp32/t_int8:.2f}x")
+               f"int8 {t_int8*1e3:7.2f} ms  smpack {t_pack*1e3:7.2f} ms  "
+               f"ratio {t_fp32/min(t_int8, t_pack):.2f}x")
         if batch <= 8:
             fn = jax.jit(build_vit_infer(
                 artifact, use_pallas=True, pallas_ops=("attention",)))
