@@ -158,6 +158,41 @@ class TestEngineVariantMatrix:
         with pytest.raises(ValueError, match="sm_packed"):
             build_vit_infer({}, sm_split=True, sm_packed=True)
 
+    @pytest.mark.slow
+    def test_long_sequence_kernel_gate_falls_back_bit_equal(self):
+        """n_tokens > 256 exceeds the Pallas kernels' 2-limb exact-row-
+        sum bound: every kernel knob must warn, disable, and produce
+        the XLA path's exact logits (which switch to the 3-limb sum for
+        long rows) — e.g. a 384²-resolution ViT (N=577). Exercised at
+        72²/patch 4 (N=325 > 256) to keep CPU time sane."""
+        import warnings
+
+        model = VisionTransformer(
+            img_size=72, patch_size=4, num_classes=8,
+            embed_dim=32, depth=1, num_heads=2,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 72, 72, 3))
+        variables = model.init(jax.random.PRNGKey(4), x, train=True)
+        _, upd = model.apply(
+            variables, x, train=True, mutable=["quant_stats"]
+        )
+        variables = {"params": variables["params"], **upd}
+        artifact = freeze_vit(model, jax.tree.map(np.asarray, variables))
+        base = np.asarray(build_vit_infer(artifact, use_pallas=False)(x))
+        for kw in (
+            dict(use_pallas=True, pallas_ops=("attention",)),
+            dict(use_pallas=True, pallas_ops=("attention2",)),
+            dict(use_pallas=True, pallas_ops=("softmax",),
+                 attn_v_mode="exact"),
+        ):
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                fn = build_vit_infer(artifact, pallas_interpret=True, **kw)
+            assert any("256" in str(x.message) for x in w), kw
+            np.testing.assert_array_equal(
+                np.asarray(fn(x)), base, err_msg=str(kw)
+            )
+
 
 class TestSm8Mode:
     """softmax_bits=8 — the reference TVM graph's own deploy precision
