@@ -145,6 +145,11 @@ class TestEngineVariantMatrix:
             {"proj_4d": True},
             {"res_split": True},
             {"sm_int16": True, "res_split": True},
+            # composite coverage: the packed boundary must compose with
+            # the other (orthogonal) softmax/residual knobs
+            {"sm_packed": True, "sm_int16": True},
+            {"sm_packed": True, "attn_v_mode": "exact"},
+            {"sm_packed": True, "res_split": True},
         ]
         for kw in variants:
             out = np.asarray(
