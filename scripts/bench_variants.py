@@ -39,6 +39,9 @@ VARIANTS = {
     "qkvtb": {"qkv_t": "bbatch"},
     "geluint": {"gelu_int_lanes": True},
     "geluint_intsm": {"gelu_int_lanes": True, "sm_int_lanes": True},
+    "smpack_geluint": {"sm_packed": True, "gelu_int_lanes": True},
+    "smpack_resbar": {"sm_packed": True, "res_split": True},
+    "smpack_sm16": {"sm_packed": True, "sm_int16": True},
 }
 
 
