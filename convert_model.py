@@ -22,7 +22,18 @@ def main(argv=None):
                    help="model name; defaults to the one recorded in "
                         "the checkpoint (deit_small for checkpoints "
                         "predating the metadata)")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="our QAT checkpoint (quant_train.py output)")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="the REFERENCE's trained checkpoint.pth.tar "
+                        "(ViT/DeiT family): its weight_integer/"
+                        "bias_integer/*_scaling_factor buffers are "
+                        "ingested verbatim — the load_qconfig analogue "
+                        "(TVM_benchmark/convert_model.py:12-148). "
+                        "Requires --model for the head count; Swin is "
+                        "out of scope exactly as in the reference's "
+                        "own converter (it handles blocks.%%d ViT "
+                        "names only)")
     p.add_argument("--output", default="results/artifact.pkl")
     p.add_argument("--nb-classes", default=None, type=int,
                    help="defaults to the checkpoint's recorded value "
@@ -51,9 +62,18 @@ def main(argv=None):
                         "to the value recorded in the checkpoint")
     args = p.parse_args(argv)
 
+    if (args.checkpoint is None) == (args.torch_checkpoint is None):
+        raise SystemExit(
+            "pass exactly one of --checkpoint (our QAT state) or "
+            "--torch-checkpoint (the reference's checkpoint.pth.tar)"
+        )
+
     from ivit_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+
+    if args.torch_checkpoint:
+        return _ingest_torch(args)
 
     from ivit_tpu.deploy import freeze_vit
     from ivit_tpu.deploy.swin_engine import freeze_swin
@@ -139,6 +159,57 @@ def main(argv=None):
         export_engine(
             build(artifact), args.export_batch, args.input_size,
             path=args.export_engine,
+        )
+        print(f"wrote {args.export_engine} "
+              f"(StableHLO, batch {args.export_batch})")
+
+
+def _ingest_torch(args):
+    """--torch-checkpoint: deploy the reference's own trained state."""
+    try:
+        import torch
+    except ImportError:
+        raise SystemExit(
+            "--torch-checkpoint needs torch (for deserialization only)"
+        )
+
+    from ivit_tpu.deploy.ingest_torch import (
+        torch_vit_state_to_artifact,
+        unwrap_state_dict,
+    )
+    from ivit_tpu.models import create_model
+    from ivit_tpu.utils import save_artifact
+
+    if args.model is None or args.model.startswith("swin"):
+        raise SystemExit(
+            "--torch-checkpoint requires a ViT/DeiT --model name (the "
+            "head count is not recoverable from the buffers; the "
+            "reference converter likewise takes --depth from the "
+            "operator, TVM_benchmark/convert_model.py:160)"
+        )
+    num_heads = create_model(args.model).num_heads
+    sd = unwrap_state_dict(
+        torch.load(args.torch_checkpoint, map_location="cpu")
+    )
+    artifact = torch_vit_state_to_artifact(
+        sd,
+        num_heads=num_heads,
+        softmax_bits=args.softmax_bits or 16,
+        gelu_stable=bool(args.gelu_stable),
+    )
+    save_artifact(args.output, artifact)
+    c = artifact["config"]
+    print(f"wrote {args.output} (ingested reference checkpoint: "
+          f"depth {c['depth']}, dim {c['embed_dim']}, "
+          f"img {c['img_size']}, classes {c['num_classes']})")
+
+    if args.export_engine:
+        from ivit_tpu.deploy import export_engine
+        from ivit_tpu.deploy.engine import build_vit_infer
+
+        export_engine(
+            build_vit_infer(artifact), args.export_batch,
+            c["img_size"], path=args.export_engine,
         )
         print(f"wrote {args.export_engine} "
               f"(StableHLO, batch {args.export_batch})")
