@@ -24,6 +24,67 @@ from typing import Dict
 
 import numpy as np
 
+# torch's bicubic uses the Keys cubic-convolution kernel with A = -0.75
+# (aten UpSample.h cubic_convolution1/2); jax.image.resize uses A = -0.5,
+# a genuinely different kernel — hence this exact reimplementation.
+_CUBIC_A = -0.75
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """The 4 tap weights torch computes per fractional offset ``t``
+    (aten get_cubic_upsample_coefficients): taps at offsets
+    (-1, 0, +1, +2) around ``floor(src)``."""
+    A = np.float32(_CUBIC_A)
+    t = t.astype(np.float32)
+
+    def conv1(x):  # |x| <= 1
+        return ((A + 2) * x - (A + 3)) * x * x + 1
+
+    def conv2(x):  # 1 < |x| < 2
+        return ((A * x - 5 * A) * x + 8 * A) * x - 4 * A
+
+    return np.stack(
+        [conv2(t + 1), conv1(t), conv1(1 - t), conv2(2 - t)], axis=0
+    ).astype(np.float32)
+
+
+def _cubic_taps(n_in: int, n_out: int):
+    """Source tap indices (4, n_out) int and weights (4, n_out) f32 for
+    one axis of ``F.interpolate(mode='bicubic', align_corners=False)``:
+    src = (dst + 0.5)·(in/out) − 0.5, taps clamped to the border
+    (aten area_pixel_compute_source_index + upsample_get_value_bounded).
+    """
+    scale = np.float32(n_in) / np.float32(n_out)
+    dst = np.arange(n_out, dtype=np.float32)
+    src = scale * (dst + np.float32(0.5)) - np.float32(0.5)
+    base = np.floor(src).astype(np.int64)
+    t = src - base
+    w = _cubic_weights(t)
+    idx = np.clip(
+        base[None, :] + np.arange(-1, 3, dtype=np.int64)[:, None],
+        0,
+        n_in - 1,
+    )
+    return idx, w
+
+
+def bicubic_resize_nchw(g: np.ndarray, h_new: int, w_new: int) -> np.ndarray:
+    """``F.interpolate(x, (h_new, w_new), mode='bicubic',
+    align_corners=False)`` in pure numpy, f32, matching torch's CPU
+    kernel's separable order (horizontal cubic, then vertical cubic of
+    the 4 horizontal results). Golden-tested against torch in
+    tests/test_import.py: agreement is to f32 rounding (~1e-6 rel;
+    torch's CPU kernel orders the FMAs differently), which is far below
+    the int8 quantization step the resized pos-embed feeds into."""
+    g = np.asarray(g, np.float32)
+    ix, wx = _cubic_taps(g.shape[-1], w_new)
+    iy, wy = _cubic_taps(g.shape[-2], h_new)
+    # horizontal pass: (..., H, w_new) per tap, summed left-to-right
+    cols = [g[..., ix[k]] * wx[k] for k in range(4)]
+    h = ((cols[0] + cols[1]) + cols[2]) + cols[3]
+    rows = [h[..., iy[k], :] * wy[k][:, None] for k in range(4)]
+    return (((rows[0] + rows[1]) + rows[2]) + rows[3]).astype(np.float32)
+
 
 def resize_pos_embed(
     posemb: np.ndarray, ntok_new: int, num_tokens: int = 1
@@ -33,8 +94,8 @@ def resize_pos_embed(
     The reference resizes augreg/DeiT pos-embeds whose grid differs from
     the model's via ``F.interpolate(mode='bicubic',
     align_corners=False)`` (/root/reference/models/utils.py:78-100).
-    torch-cpu reproduces that exactly; without torch, jax.image.resize
-    is a close (different cubic kernel) fallback.
+    :func:`bicubic_resize_nchw` reproduces that in pure numpy — no
+    torch in the import path (golden-tested vs torch to f32 rounding).
     """
     posemb_tok = posemb[:, :num_tokens]
     grid = posemb[0, num_tokens:]
@@ -48,27 +109,7 @@ def resize_pos_embed(
         grid.reshape(1, gs_old, gs_old, -1).transpose(0, 3, 1, 2),
         dtype=np.float32,
     )
-    try:
-        import torch
-        import torch.nn.functional as F
-
-        g = (
-            F.interpolate(
-                torch.from_numpy(g),
-                size=(gs_new, gs_new),
-                mode="bicubic",
-                align_corners=False,
-            )
-            .numpy()
-        )
-    except ImportError:  # pragma: no cover - torch is in the image
-        import jax
-
-        g = np.asarray(
-            jax.image.resize(
-                g, (1, g.shape[1], gs_new, gs_new), method="bicubic"
-            )
-        )
+    g = bicubic_resize_nchw(g, gs_new, gs_new)
     g = g.transpose(0, 2, 3, 1).reshape(1, gs_new * gs_new, -1)
     return np.concatenate(
         [posemb_tok, g.astype(np.float32)], axis=1

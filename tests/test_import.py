@@ -173,7 +173,10 @@ class TestPosEmbedResize:
             .reshape(1, 14 * 14, D)
             .numpy()
         )
-        np.testing.assert_allclose(out[:, 1:], ref, rtol=1e-5, atol=1e-6)
+        # torch's CPU kernel orders the FMAs differently; agreement is
+        # to f32 rounding (~1e-6 abs on unit-normal inputs), far below
+        # the int8 quantization step the resized pos-embed feeds.
+        np.testing.assert_allclose(out[:, 1:], ref, rtol=1e-5, atol=4e-6)
 
     def test_load_pretrained_resizes_mismatched_grid(self, tmp_path):
         """A checkpoint with a different patch grid must be resized, not
