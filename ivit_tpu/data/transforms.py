@@ -260,6 +260,20 @@ def normalize(arr):
     return (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def pad_random_crop(img, rng, size=32, padding=4):
+    """``transforms.RandomCrop(size, padding=4)`` — the reference swaps
+    this in for the resized crop on small inputs (CIFAR at 32²,
+    /root/reference/utils/data_utils.py:76-80): zero-pad every border
+    by ``padding`` then crop a random ``size``² window."""
+    arr = np.asarray(img.convert("RGB"))
+    arr = np.pad(
+        arr, ((padding, padding), (padding, padding), (0, 0))
+    )
+    y0 = int(rng.integers(0, arr.shape[0] - size + 1))
+    x0 = int(rng.integers(0, arr.shape[1] - size + 1))
+    return Image.fromarray(arr[y0:y0 + size, x0:x0 + size])
+
+
 def train_transform(
     img: Image.Image,
     rng: np.random.Generator,
@@ -271,9 +285,18 @@ def train_transform(
     crop_scale=(0.08, 1.0),
     use_rand_augment=True,
 ) -> np.ndarray:
-    """Full DeiT train transform → float32 HWC."""
+    """Full DeiT train transform → float32 HWC.
+
+    ``size <= 32`` follows the reference's small-input branch
+    (``resize_im = input_size > 32``, utils/data_utils.py:62-80):
+    pad-4 random crop instead of RandomResizedCrop; the rest of the
+    pipeline (flip, rand-augment, normalize, erasing) is unchanged.
+    """
     img = img.convert("RGB")
-    img = random_resized_crop(img, rng, size, scale=crop_scale)
+    if size <= 32:
+        img = pad_random_crop(img, rng, size=size, padding=4)
+    else:
+        img = random_resized_crop(img, rng, size, scale=crop_scale)
     if rng.random() < 0.5:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     if use_rand_augment:
@@ -290,8 +313,17 @@ def train_transform(
 
 def eval_transform(img: Image.Image, size=224, crop_pct=None) -> np.ndarray:
     """Resize(size/0.875) + center crop + normalize → float32 HWC
-    (utils/data_utils.py:78-92)."""
+    (utils/data_utils.py:78-92). On small inputs (``size <= 32``) the
+    reference skips resize/crop entirely (``resize_im`` false,
+    data_utils.py:82-88) — CIFAR eval images pass straight to
+    normalize."""
     img = img.convert("RGB")
+    if size <= 32:
+        arr = np.asarray(img, np.float32)
+        if arr.shape[:2] != (size, size):  # non-native source
+            img = img.resize((size, size), _BICUBIC)
+            arr = np.asarray(img, np.float32)
+        return normalize(arr)
     resize = int(size / (crop_pct or 0.875))
     w, h = img.size
     if w < h:

@@ -43,6 +43,35 @@ class TestTransforms:
         px = a * IMAGENET_STD + IMAGENET_MEAN
         assert px.min() >= -1e-5 and px.max() <= 1.0 + 1e-5
 
+    def test_small_input_branch_cifar(self):
+        """The reference swaps RandomResizedCrop for pad-4 RandomCrop
+        and skips eval resize/crop entirely when input_size ≤ 32
+        (utils/data_utils.py:62-88) — the CIFAR-at-32² recipe."""
+        img32 = _img(32, 32)
+        rng = np.random.default_rng(0)
+        out = train_transform(img32, rng, size=32)
+        assert out.shape == (32, 32, 3)
+        # eval at 32² on a native 32² source: pure normalize, no
+        # resampling — un-normalizing must recover the exact pixels
+        ev = eval_transform(img32, size=32)
+        px = ev * IMAGENET_STD + IMAGENET_MEAN
+        np.testing.assert_allclose(
+            px * 255.0, np.asarray(img32, np.float32), atol=1e-3
+        )
+        # pad-4 random crop: some crops include the zero border
+        from ivit_tpu.data.transforms import pad_random_crop
+
+        got_border = False
+        for i in range(20):
+            c = pad_random_crop(img32, np.random.default_rng(i), size=32)
+            assert c.size == (32, 32)
+            arr = np.asarray(c)
+            if (arr[0] == 0).all() or (arr[:, 0] == 0).all():
+                got_border = True
+        assert got_border
+        # non-native source still lands on size² at eval
+        assert eval_transform(_img(48, 40), size=32).shape == (32, 32, 3)
+
     def test_rand_augment_runs_all_ops(self):
         rng = np.random.default_rng(1)
         img = _img(64, 64)
