@@ -207,8 +207,28 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                      gelu_int_lanes: bool = False,
                      sm_packed: bool = False,
                      scores_f32: bool = False,
+                     qkv_hmajor: bool = False,
+                     win_pad: int = 0,
                      pallas_ops: tuple = ()):
     """Jittable int8 Swin inference: float NHWC images → logits.
+
+    Layout probes for the profiled score-plane copy tax around the
+    N=49 window dots (both bit-identical to the default path,
+    tests/test_swin_deploy.py):
+
+    ``qkv_hmajor`` — materialize q/k/v head-major (Bw, H, N, hd) int8
+    once (one explicit relayout each) so both attention dots and the
+    projection consume leading-batch contiguous planes, instead of
+    letting XLA insert its own copies around the (0, 2)-batched dots.
+
+    ``win_pad`` — zero-pad the window token axis N → win_pad before
+    the score dot so the (…, N, N) score planes are sublane-aligned
+    (49 → 56/64 kills the T(8,128) sublane padding). Exactness: padded
+    k/v rows are zero; padded score columns are forced to a −2^20
+    sentinel and their exp zeroed via the shiftmax ``col_valid`` hook
+    (the fused kernel's own mechanism), so valid rows' probabilities,
+    sums, and context are bit-equal; padded context rows are sliced
+    off before the projection.
 
     ``pallas_ops=("attention",)`` fuses the whole window-attention tail
     (q@kᵀ → requant → bias merge → mask → 8-bit Shiftmax → int8 @V →
@@ -297,6 +317,29 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             ).reshape(Bw, H, Npad, hd)[:, :, :N]
             return _proj_out(c8, blk, H, hd, C)
 
+        Nv = N
+        col_valid = None
+        if win_pad and N < win_pad:
+            # probe (a): tile-aligned score planes; exactness per the
+            # builder docstring (zero k/v pads + col_valid shiftmax)
+            q = _pad_axis(q, 1, win_pad)
+            k = _pad_axis(k, 1, win_pad)
+            v = _pad_axis(v, 1, win_pad)
+            N = win_pad
+            col_valid = (jnp.arange(N) < Nv)[None, None, None, :]
+
+        if qkv_hmajor:
+            # probe (b): one explicit head-major relayout per tensor;
+            # the dots then batch over the leading (Bw, H) axes
+            q = _mat(q.transpose(0, 2, 1, 3), jnp.int8)
+            k = _mat(k.transpose(0, 2, 1, 3), jnp.int8)
+            v = _mat(v.transpose(0, 2, 1, 3), jnp.int8)
+            qk_dims = (((3,), (3,)), ((0, 1), (0, 1)))
+            av_dims = (((3,), (2,)), ((0, 1), (0, 1)))
+        else:
+            qk_dims = (((3,), (3,)), ((0, 2), (0, 2)))
+            av_dims = (((3,), (1,)), ((0, 1), (0, 2)))
+
         if scores_f32:
             # bf16×bf16→f32 MXU dot instead of int8→s32: **bit-exact**
             # for these window shapes — int8 carriers are exactly
@@ -310,13 +353,13 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             assert hd * 128 * 128 < 2**24, hd
             attn = jax.lax.dot_general(
                 q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
+                dimension_numbers=qk_dims,
                 preferred_element_type=jnp.float32,
             )  # (Bw, H, N, N)
         else:
             attn = jax.lax.dot_general(
                 q, k,
-                dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
+                dimension_numbers=qk_dims,
                 preferred_element_type=jnp.int32,
             )  # (Bw, H, N, N)
         s_attn = sa1 * sa1 * np.float32(float(hd) ** -0.5)
@@ -325,31 +368,44 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
 
         # dual-scale bias merge, pre-requantized at freeze time
         sb = _scale(blk["s_bias"])
-        a8 = jnp.clip(
-            jnp.round(a8 * (s1 / sb)) + jnp.asarray(blk["bias_req"])[None],
-            *_INT8,
-        )
+        bias = jnp.asarray(blk["bias_req"])
+        if bias.shape[-1] < N:  # win_pad: zero-pad the frozen bias
+            bias = _pad_axis(_pad_axis(bias, 1, N), 2, N)
+        a8 = jnp.clip(jnp.round(a8 * (s1 / sb)) + bias[None], *_INT8)
         # s8 materialization of the merged scores; the SW-MSA mask addend
         # (−100/s_bias, NOT integral) must be applied after, in f32.
         a8 = _mat(a8, jnp.int8).astype(jnp.float32)
         if blk["mask_int"] is not None:
             m = jnp.asarray(blk["mask_int"])
+            if m.shape[-1] < N:  # win_pad
+                m = _pad_axis(_pad_axis(m, 1, N), 2, N)
             nW = m.shape[0]
             a8 = (
                 a8.reshape(Bw // nW, nW, H, N, N) + m[None, :, None]
             ).reshape(Bw, H, N, N)
+            if col_valid is not None:
+                a8 = jnp.where(col_valid, a8, -(2.0**20))
             # mask already added: the int8 domain bound is broken, so
             # only the p-dependent elisions engage (in_lo=-inf)
             sm, _ = shiftmax(
                 a8, sb, out_bits=8, interp=DEPLOY,
                 static_p=math.ceil(1.0 / float(blk["s_bias"])),
-                in_lo=-math.inf,
+                in_lo=-math.inf, col_valid=col_valid,
             )
         else:
+            if col_valid is not None:
+                a8 = jnp.where(col_valid, a8, -(2.0**20))
             # int32-lane softmax for unmasked windows when the frozen
             # scale admits it (bit-identical; see ops/shiftmax.py)
             h_p = math.floor(1.0 / float(blk["s_bias"]))
-            if (
+            if col_valid is not None:
+                # win_pad: the generic chain is the only col_valid twin
+                sm, _ = shiftmax(
+                    a8, sb, out_bits=8, interp=DEPLOY,
+                    static_p=math.ceil(1.0 / float(blk["s_bias"])),
+                    in_lo=-math.inf, col_valid=col_valid,
+                )
+            elif (
                 sm_int_lanes and not sm_packed and 1 <= h_p <= 500
                 and a8.shape[-1] <= 256  # int twin's row-sum bound
             ):
@@ -374,20 +430,22 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
             assert N * 128 * 128 < 2**24, N
             ctx = jax.lax.dot_general(
                 sm.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
+                dimension_numbers=av_dims,
                 preferred_element_type=jnp.float32,
             )
         else:
             sm8 = sm.astype(jnp.int8)  # 8-bit softmax fits int8 ([0,127])
             ctx = jax.lax.dot_general(
                 sm8, v,
-                dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
+                dimension_numbers=av_dims,
                 preferred_element_type=jnp.int32,
             )
         s_ctx = s_sm * sa1
 
         so = _scale(blk["s_attn_out"])
         c8 = _mat(_requant(ctx, s_ctx / so, *_INT8, jnp.int8), jnp.int8)
+        if Nv != N:  # win_pad: drop the padded context rows
+            c8 = c8[:, :, :Nv]
         return _proj_out(c8, blk, H, hd, C)
 
     def _block(x, s_x, blk):

@@ -35,6 +35,7 @@ def shiftmax(
     static_p: int | None = None,
     in_lo: float = -255.0,
     packed_exp: bool = False,
+    col_valid: jax.Array | None = None,
 ):
     """Integer softmax over the last axis.
 
@@ -76,8 +77,23 @@ def shiftmax(
     and ``n ≤ 15`` (``k`` fits 4 bits); silently falls back to the
     plain path otherwise. Mutually exclusive with ``split_normalize``.
 
+    ``col_valid``: optional bool mask over the last axis marking real
+    columns (the win-pad engine probe pads Swin's N=49 windows to a
+    tile-friendly size). Invalid columns' exp values are zeroed exactly
+    — the same multiplicative mask the fused window kernel uses
+    (kernels/_shiftmax_common.shift_exp_rows) — so the row sum and the
+    valid outputs are bit-identical to the unpadded call. The caller
+    must pre-set invalid inputs to a large negative sentinel (so the
+    row max is unaffected) and pass ``in_lo=-inf`` (the sentinel breaks
+    the int8-domain elision proofs).
+
     Returns ``(q_out, scale_out)`` with ``scale_out = 1/2^(out_bits−1)``.
     """
+    if col_valid is not None:
+        assert q_max is None and not packed_exp and not split_normalize
+        assert math.isinf(in_lo) and in_lo < 0, (
+            "col_valid inputs carry a sentinel below the int8 domain"
+        )
     if mask is not None:
         assert q_max is None, "precomputed q_max cannot see the mask"
         # the additive mask breaks the int8 domain bound: the range
@@ -127,6 +143,8 @@ def shiftmax(
         exp_int, _ = int_exp_shift(
             q, scale, n, interp, elide_clamp=el_clamp, elide_clip=el_clip
         )
+    if col_valid is not None:
+        exp_int = jnp.where(col_valid, exp_int, 0.0)
     if (
         static_p is not None
         and not interp.is_sim

@@ -1,10 +1,14 @@
 """Batch-128 int8 throughput across the model zoo (one v5e chip).
 
 Usage: python scripts/bench_zoo.py [--ship] [--smpack] [--scoresf32]
+                                   [--pattn] [--hmajor] [--winpad=N]
                                    [model ...]
 Defaults to the six flagship configs. Loop-timed with final readback.
 ``--smpack`` / ``--scoresf32`` select the bit-identical engine variants
-(packed-u16 softmax boundary; bf16→f32 window dots, Swin only).
+(packed-u16 softmax boundary; bf16→f32 window dots, Swin only);
+``--pattn`` / ``--hmajor`` / ``--winpad=N`` are the Swin score-layout
+probes (fused Pallas window attention; head-major q/k/v carriers;
+token-axis pad to N) — all bit-identical to the default engine.
 
 ``--ship`` freezes each model in the shipping perf config (the one
 bench.py times): 8-bit softmax probabilities + pure int8 attn@V for the
@@ -69,6 +73,18 @@ def main():
             kw["sm_packed"] = True
         if "--scoresf32" in argv and is_swin:
             kw["scores_f32"] = True
+        if "--pattn" in argv and is_swin:
+            # probe (c): fully-fused Pallas window attention at batch
+            # 128 — scores never reach HBM (VERDICT r3 item 3c)
+            kw["use_pallas"] = True
+            kw["pallas_ops"] = ("attention",)
+        if "--hmajor" in argv and is_swin:
+            # probe (b): explicit head-major q/k/v carriers
+            kw["qkv_hmajor"] = True
+        for a in argv:
+            if a.startswith("--winpad=") and is_swin:
+                # probe (a): tile-aligned score planes (e.g. 56 or 64)
+                kw["win_pad"] = int(a.split("=", 1)[1])
         fn = jax.jit(build(artifact, **kw))
         t = time_fn(fn, images)
         print(f"{name:12s} {t*1e3:8.2f} ms  {BATCH/t:8.1f} img/s", flush=True)

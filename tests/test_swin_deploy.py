@@ -127,3 +127,23 @@ class TestSwinGeluStable:
             )(x)
         )
         np.testing.assert_array_equal(dep_both, dep)
+        # layout probes (VERDICT r3 item 3): head-major q/k/v carriers
+        # and token-axis window padding (N=16 → 24 here; covers masked
+        # shifted blocks and the col_valid shiftmax hook) — both must
+        # be bit-identical to the default engine, alone and combined
+        dep_hm = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, qkv_hmajor=True
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_hm, dep)
+        dep_wp = np.asarray(
+            build_swin_infer(artifact, use_pallas=False, win_pad=24)(x)
+        )
+        np.testing.assert_array_equal(dep_wp, dep)
+        dep_hmwp = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, qkv_hmajor=True, win_pad=24
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_hmwp, dep)
