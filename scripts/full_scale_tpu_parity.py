@@ -1,0 +1,102 @@
+"""TPU leg of the full-scale differential: sim↔deploy on the real chip.
+
+Consumes the bundle written by ``scripts/full_scale_differential.py
+--save-bundle`` (reference-init weights, torch-calibrated-equivalent
+EMA stats, real-eval-transform inputs) and re-runs invariant 3 where it
+is authoritative: on the TPU, where `engine._scale` pins every requant
+ratio on-device, the SIM forward and the freshly frozen int8 engine
+must agree to a few head-scale LSBs with exact per-image argmax
+(CLAUDE.md round-2 invariant, previously proven only on artifacts
+frozen from OUR trainings — this extends it to the reference's own
+initialization + calibration distribution at deit_tiny/swin_tiny 224²
+production scale; VERDICT r3 item 2).
+
+Usage (on the axon TPU):
+    python scripts/full_scale_differential.py --family both \
+        --save-bundle /tmp/fsd              # CPU leg, writes bundles
+    python scripts/full_scale_tpu_parity.py /tmp/fsd/deit_tiny_224.pkl \
+        /tmp/fsd/swin_tiny_224.pkl
+"""
+
+import json
+import pickle
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(path):
+    with open(path, "rb") as f:
+        bundle = pickle.load(f)
+    family = bundle["family"]
+    is_swin = family.startswith("swin")
+    name = "swin_tiny" if is_swin else "deit_tiny"
+    print(f"== {family} on {jax.default_backend()} ==")
+
+    from ivit_tpu.models import create_model
+
+    if is_swin:
+        from ivit_tpu.deploy.swin_engine import build_swin_infer as build
+        from ivit_tpu.deploy.swin_engine import freeze_swin as freeze
+    else:
+        from ivit_tpu.deploy import build_vit_infer as build
+        from ivit_tpu.deploy import freeze_vit as freeze
+
+    model = create_model(name)
+    variables = jax.tree.map(jnp.asarray, bundle["variables"])
+    x_eval = jnp.asarray(bundle["x_eval"])
+
+    t0 = time.time()
+    sim = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, x_eval
+        )
+    )
+    print(f"  sim forward {time.time() - t0:.0f}s")
+
+    t0 = time.time()
+    artifact = freeze(model, jax.tree.map(np.asarray, variables))
+    dep = np.asarray(jax.jit(build(artifact, use_pallas=False))(x_eval))
+    print(f"  freeze + engine forward {time.time() - t0:.0f}s")
+
+    head_scale = float(np.max(artifact["head"]["out_scale"]))
+    dd = float(np.max(np.abs(dep - sim)))
+    agree = float(np.mean(np.argmax(dep, -1) == np.argmax(sim, -1)))
+    cpu_agree = float(
+        np.mean(
+            np.argmax(dep, -1)
+            == np.argmax(bundle["cpu_sim_logits"], -1)
+        )
+    )
+    out = {
+        "family": family,
+        "platform": jax.default_backend(),
+        "sim_deploy_max_delta": dd,
+        "head_scale": head_scale,
+        "lsb": dd / head_scale,
+        "argmax_agree": agree,
+        "argmax_agree_vs_cpu_sim": cpu_agree,
+    }
+    print(
+        f"  sim↔deploy: max|Δ|={dd:.6g} ({dd / head_scale:.2f} "
+        f"head-scale LSBs), argmax {agree:.1%} "
+        f"(vs CPU sim {cpu_agree:.1%})"
+    )
+    assert agree == 1.0
+    assert dd <= 4 * head_scale, (dd, head_scale)
+    return out
+
+
+def main():
+    results = [check(p) for p in sys.argv[1:]]
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
