@@ -1,0 +1,62 @@
+"""CIFAR-100 on-disk-format round trip (VERDICT r3 item 1 support).
+
+The real bytes are unfetchable on this box (zero egress — DNS resolves
+nothing, measured in scripts/cifar100_e2e.py), so the loader is proven
+against a fabricated archive in the EXACT python-pickle format the real
+tarball unpacks to (`cifar-100-python/{train,test,meta}` with b"data"
+uint8 (N, 3072) row-major RGB planes and b"fine_labels" —
+/root/reference/utils/data_utils.py:52-58 consumes the same files via
+torchvision.datasets.CIFAR100). On a networked box the identical code
+path reads the real archive; scripts/cifar100_e2e.py is the full
+train → freeze → engine recipe over it.
+"""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from cifar100_e2e import fabricate  # noqa: E402
+
+from ivit_tpu.data import build_dataset, eval_transform, train_transform
+from ivit_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+def test_cifar100_format_roundtrip(tmp_path):
+    root = str(tmp_path)
+    fabricate(root, train_n=40, test_n=20)
+    d = os.path.join(root, "cifar-100-python")
+    # the on-disk format is byte-for-byte what the real tarball unpacks
+    # to: pickles with bytes keys, uint8 (N, 3072) plane-major data
+    with open(os.path.join(d, "train"), "rb") as f:
+        raw = pickle.load(f, encoding="bytes")
+    assert set(raw) >= {b"data", b"fine_labels", b"coarse_labels"}
+    assert raw[b"data"].dtype == np.uint8
+    assert raw[b"data"].shape == (40, 3072)
+
+    train = build_dataset("CIFAR100", root, True, 32, 100)
+    test = build_dataset("CIFAR100", root, False, 32, 100)
+    assert len(train) == 40 and len(test) == 20
+    assert train.num_classes == 100
+
+    img, label = train.load(7)
+    assert img.size == (32, 32) and label == 7
+    # plane-major unpack is correct: the class-coded square survives
+    arr = np.asarray(img)
+    cy, cx = divmod(label, 10)
+    sq = arr[cy * 3:(cy + 1) * 3, cx * 3:(cx + 1) * 3]
+    assert (sq == 255).all()
+    assert arr.mean() < 200  # background is noise, not saturated
+
+    # the 32² recipe branch: train is pad-4 crop (32² out), eval is
+    # normalize-only (un-normalizing recovers the exact source pixels)
+    t = train_transform(img, np.random.default_rng(0), size=32)
+    assert t.shape == (32, 32, 3)
+    ev = eval_transform(img, size=32)
+    np.testing.assert_allclose(
+        (ev * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+        arr.astype(np.float32), atol=1e-3,
+    )
