@@ -126,14 +126,21 @@ def time_fn(fn, x, iters=ITERS, reps=3):
     # approximates the noise floor for both the int8 and fp32 legs.
     float(fn(x)[0, 0])
     float(fn(x)[0, 0])
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(x)
         float(out[0, 0])
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        times.append((time.perf_counter() - t0) / iters)
+    # Noise discipline (VERDICT r3 weak #6): the relay spread is part of
+    # the record — headline gains smaller than it are not gains.
+    print(
+        f"reps {['%.2f' % (t * 1e3) for t in times]} ms; "
+        f"spread {100 * (max(times) / min(times) - 1):.1f}%",
+        file=sys.stderr,
+    )
+    return min(times)
 
 
 def main():
