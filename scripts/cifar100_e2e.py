@@ -49,22 +49,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def fabricate(root, train_n=2000, test_n=500, seed=0):
     """Write cifar-100-python/{train,test,meta} in the real format.
 
-    Content is learnable (class-coded bright square on noise, the
-    SyntheticDataset construction at 32²) so the trained accuracy and
-    the sim==engine assertion are non-trivial.
+    Content is learnable (class-coded squares on noise) so the trained
+    accuracy and the sim==engine assertion are non-trivial.  The coding
+    is HORIZONTAL-FLIP-INVARIANT: the train transform flips at p=0.5
+    unconditionally (data/transforms.py, mirroring the reference's
+    timm recipe), so a single class-coded square makes mirror-pair
+    classes indistinguishable and caps top-1 at ~50%.  Instead each
+    class draws a symmetric PAIR of squares — row band cy = c//10,
+    column pair p = (c%10)%5 at columns {p, 9-p}, brightness level
+    255 or 170 for the (c%10)<5 bit — so flip maps the signal to
+    itself and all 100 classes stay separable.
     """
     d = os.path.join(root, "cifar-100-python")
     os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "FABRICATED"), "w") as f:
+        f.write("written by scripts/cifar100_e2e.py — not real CIFAR\n")
     for split, n, off in (("train", train_n, 0), ("test", test_n, 1)):
         rng = np.random.default_rng(seed + off)
         labels = [int(i % 100) for i in range(n)]
         imgs = np.empty((n, 3, 32, 32), np.uint8)
         for i, lab in enumerate(labels):
-            arr = rng.integers(0, 128, (32, 32, 3), dtype=np.uint8)
+            arr = rng.integers(0, 96, (32, 32, 3), dtype=np.uint8)
             cells = 10
             cs = 32 // cells
-            cy, cx = divmod(lab, cells)
-            arr[cy * cs:(cy + 1) * cs, cx * cs:(cx + 1) * cs] = 255
+            cy = lab // cells
+            p = (lab % cells) % 5
+            level = 255 if (lab % cells) < 5 else 170
+            # column offset 1 centers the 30-px band in 32 px so the
+            # horizontal mirror maps cell cx exactly onto cell 9-cx
+            for cx in (p, 9 - p):
+                arr[cy * cs:(cy + 1) * cs,
+                    1 + cx * cs:1 + (cx + 1) * cs] = level
             imgs[i] = arr.transpose(2, 0, 1)
         with open(os.path.join(d, split), "wb") as f:
             pickle.dump(
@@ -126,6 +141,14 @@ def run_family(opts, model, extra):
     ] + extra
     if opts.fast_matmul:
         base += ["--fast-matmul"]
+    if getattr(opts, "fabricated", False):
+        # The fabricated signal is position+brightness-coded; the
+        # reference CIFAR recipe's RandAugment-m9 / random-erasing /
+        # mixup destroy exactly those cues, so the fabricated run
+        # disables them (the REAL-data command line keeps the
+        # reference defaults — this branch never fires then).
+        base += ["--aa", "none", "--color-jitter", "0", "--reprob", "0",
+                 "--mixup", "0", "--cutmix", "0"]
 
     report = {"model": model}
     _, dtt = run(
@@ -190,9 +213,10 @@ def main():
     opts = ap.parse_args()
 
     os.makedirs(opts.workdir, exist_ok=True)
+    marker = os.path.join(opts.data, "cifar-100-python", "FABRICATED")
     real = os.path.isfile(
         os.path.join(opts.data, "cifar-100-python", "train")
-    )
+    ) and not os.path.isfile(marker)
     if not real:
         print("cifar-100-python not found under --data; writing a "
               "FABRICATED archive in the real on-disk format "
@@ -200,6 +224,7 @@ def main():
         fabricate(opts.data, opts.train_n, opts.test_n)
     print(f"data: {'REAL CIFAR-100' if real else 'FABRICATED (format-exact)'}"
           f" at {opts.data}")
+    opts.fabricated = not real
 
     reports = []
     if opts.family in ("deit", "both"):

@@ -44,11 +44,20 @@ def test_cifar100_format_roundtrip(tmp_path):
 
     img, label = train.load(7)
     assert img.size == (32, 32) and label == 7
-    # plane-major unpack is correct: the class-coded square survives
+    # plane-major unpack is correct: the flip-invariant class coding
+    # (symmetric square pair + brightness bit, see fabricate()) survives
     arr = np.asarray(img)
-    cy, cx = divmod(label, 10)
-    sq = arr[cy * 3:(cy + 1) * 3, cx * 3:(cx + 1) * 3]
-    assert (sq == 255).all()
+    cy = label // 10
+    p = (label % 10) % 5
+    level = 255 if (label % 10) < 5 else 170
+    for cx in (p, 9 - p):
+        sq = arr[cy * 3:(cy + 1) * 3, 1 + cx * 3:1 + (cx + 1) * 3]
+        assert (sq == level).all()
+    # flip-invariance: mirroring the image leaves the signal cells fixed
+    flipped = arr[:, ::-1]
+    for cx in (p, 9 - p):
+        sq = flipped[cy * 3:(cy + 1) * 3, 1 + cx * 3:1 + (cx + 1) * 3]
+        assert (sq == level).all()
     assert arr.mean() < 200  # background is noise, not saturated
 
     # the 32² recipe branch: train is pad-4 crop (32² out), eval is
