@@ -26,14 +26,16 @@ def main(argv=None):
                    help="our QAT checkpoint (quant_train.py output)")
     p.add_argument("--torch-checkpoint", default=None,
                    help="the REFERENCE's trained checkpoint.pth.tar "
-                        "(ViT/DeiT family): its weight_integer/"
+                        "(ViT/DeiT or Swin family): its weight_integer/"
                         "bias_integer/*_scaling_factor buffers are "
                         "ingested verbatim — the load_qconfig analogue "
                         "(TVM_benchmark/convert_model.py:12-148). "
-                        "Requires --model for the head count; Swin is "
-                        "out of scope exactly as in the reference's "
-                        "own converter (it handles blocks.%%d ViT "
-                        "names only)")
+                        "Requires --model for the head count(s). Swin "
+                        "ingestion is capability BEYOND the reference: "
+                        "its own converter handles blocks.%%d ViT names "
+                        "only, so its trained Swin models could never "
+                        "be deployed; here they serve on the int8 Swin "
+                        "engine (pass --input-size if not 224)")
     p.add_argument("--output", default="results/artifact.pkl")
     p.add_argument("--nb-classes", default=None, type=int,
                    help="defaults to the checkpoint's recorded value "
@@ -174,41 +176,54 @@ def _ingest_torch(args):
         )
 
     from ivit_tpu.deploy.ingest_torch import (
+        torch_swin_state_to_artifact,
         torch_vit_state_to_artifact,
         unwrap_state_dict,
     )
     from ivit_tpu.models import create_model
     from ivit_tpu.utils import save_artifact
 
-    if args.model is None or args.model.startswith("swin"):
+    if args.model is None:
         raise SystemExit(
-            "--torch-checkpoint requires a ViT/DeiT --model name (the "
-            "head count is not recoverable from the buffers; the "
-            "reference converter likewise takes --depth from the "
-            "operator, TVM_benchmark/convert_model.py:160)"
+            "--torch-checkpoint requires a --model name (the head "
+            "count is not recoverable from the buffers; the reference "
+            "converter likewise takes --depth from the operator, "
+            "TVM_benchmark/convert_model.py:160)"
         )
+    is_swin = args.model.startswith("swin")
     num_heads = create_model(args.model).num_heads
     sd = unwrap_state_dict(
         torch.load(args.torch_checkpoint, map_location="cpu")
     )
-    artifact = torch_vit_state_to_artifact(
-        sd,
-        num_heads=num_heads,
-        softmax_bits=args.softmax_bits or 16,
-        gelu_stable=bool(args.gelu_stable),
-    )
+    if is_swin:
+        artifact = torch_swin_state_to_artifact(
+            sd,
+            num_heads=num_heads,
+            img_size=args.input_size or 224,
+            gelu_stable=bool(args.gelu_stable),
+        )
+    else:
+        artifact = torch_vit_state_to_artifact(
+            sd,
+            num_heads=num_heads,
+            softmax_bits=args.softmax_bits or 16,
+            gelu_stable=bool(args.gelu_stable),
+        )
     save_artifact(args.output, artifact)
     c = artifact["config"]
+    depth = c.get("depth") or "-".join(str(d) for d in c["depths"])
     print(f"wrote {args.output} (ingested reference checkpoint: "
-          f"depth {c['depth']}, dim {c['embed_dim']}, "
+          f"depth {depth}, dim {c['embed_dim']}, "
           f"img {c['img_size']}, classes {c['num_classes']})")
 
     if args.export_engine:
         from ivit_tpu.deploy import export_engine
         from ivit_tpu.deploy.engine import build_vit_infer
+        from ivit_tpu.deploy.swin_engine import build_swin_infer
 
+        build = build_swin_infer if is_swin else build_vit_infer
         export_engine(
-            build_vit_infer(artifact), args.export_batch,
+            build(artifact), args.export_batch,
             c["img_size"], path=args.export_engine,
         )
         print(f"wrote {args.export_engine} "

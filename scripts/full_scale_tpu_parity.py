@@ -19,6 +19,7 @@ Usage (on the axon TPU):
 """
 
 import json
+import os
 import pickle
 import sys
 import time
@@ -93,9 +94,23 @@ def check(path):
 
 
 def main():
-    results = [check(p) for p in sys.argv[1:]]
+    argv = list(sys.argv[1:])
+    record = None
+    if "--record" in argv:
+        # persist each result as a JSONL row (tagged "tpu_parity") so
+        # the measured TPU-leg evidence lives next to the CPU-leg rows
+        # in FULLSCALE_r04.jsonl instead of only in a terminal scroll
+        i = argv.index("--record")
+        record = argv[i + 1]
+        del argv[i:i + 2]
+    results = [check(p) for p in argv]
     for r in results:
         print(json.dumps(r))
+    if record:
+        with open(record, "a") as f:
+            for r in results:
+                f.write(json.dumps({"record": "tpu_parity", **r}) + "\n")
+        print(f"appended {len(results)} records to {os.path.abspath(record)}")
 
 
 if __name__ == "__main__":

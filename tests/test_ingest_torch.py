@@ -118,7 +118,13 @@ def test_cli_torch_checkpoint_roundtrip(tmp_path):
     # CLI contract checks that don't need a full-size model:
     with pytest.raises(SystemExit, match="exactly one"):
         convert_model.main(["--output", str(out)])
-    with pytest.raises(SystemExit, match="ViT/DeiT"):
+    with pytest.raises(SystemExit, match="requires a --model"):
+        convert_model.main([
+            "--torch-checkpoint", str(ckpt), "--output", str(out),
+        ])
+    # a ViT checkpoint offered as Swin must fail loudly on the missing
+    # Swin buffers, not emit a garbage artifact
+    with pytest.raises(KeyError, match="layers"):
         convert_model.main([
             "--torch-checkpoint", str(ckpt), "--model", "swin_tiny",
             "--output", str(out),
@@ -129,6 +135,106 @@ def test_cli_torch_checkpoint_roundtrip(tmp_path):
 
     save_artifact(str(out), artifact)
     assert out.exists()
+
+
+@functools.lru_cache(maxsize=1)
+def _frozen_ref_swin():
+    """Same protocol for the Swin family: calibrate → freeze → eval the
+    reference's OWN quantized SwinTransformer (swin_quant.py), then
+    hand its state dict to the ingester. Exercises a shifted block
+    (stage-0 block 1: res 8 > ws 4 → shift 2, masked SW-MSA), the
+    quantized rel-pos bias, and a PatchMerging downsample."""
+    from tests.test_import_swin import fake_swin_sd
+    from tests.test_ref_model_differential import _SWIN_CFG, _build_ref_swin
+
+    c = _SWIN_CFG
+    sd = {
+        k: (v * 0.2).astype(np.float32)
+        for k, v in fake_swin_sd(
+            D=c["embed_dim"], depths=c["depths"], heads=c["num_heads"],
+            p=c["patch_size"], ws=c["window_size"],
+        ).items()
+    }
+    model = _build_ref_swin(sd)
+    model.train()
+    rng = np.random.default_rng(11)
+    with torch.no_grad():
+        for _ in range(3):
+            b = rng.normal(
+                size=(4, c["img_size"], c["img_size"], 3)
+            ).astype(np.float32)
+            model(_nchw(b))
+    _ref_models().model_utils.freeze_model(model)
+    model.eval()
+    rng = np.random.default_rng(99)
+    x_eval = rng.normal(
+        size=(8, c["img_size"], c["img_size"], 3)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = model(_nchw(x_eval)).numpy()
+    return model, x_eval, ref_logits
+
+
+def test_ingested_swin_artifact_matches_reference_eval():
+    """NEW capability beyond the reference: its converter handles ViT
+    names only (TVM_benchmark/convert_model.py:23-45), so a reference-
+    trained Swin model could never be deployed on its engine. Ours can:
+    reference Swin QAT checkpoint → our int8 Swin engine ≡ the
+    reference torch model's own eval forward."""
+    from ivit_tpu.deploy.ingest_torch import torch_swin_state_to_artifact
+    from ivit_tpu.deploy.swin_engine import build_swin_infer
+    from tests.test_ref_model_differential import _SWIN_CFG
+
+    model, x_eval, ref_logits = _frozen_ref_swin()
+    sd = unwrap_state_dict(model.state_dict())
+    artifact = torch_swin_state_to_artifact(
+        sd,
+        num_heads=_SWIN_CFG["num_heads"],
+        img_size=_SWIN_CFG["img_size"],
+    )
+
+    cfg = artifact["config"]
+    assert cfg["depths"] == tuple(_SWIN_CFG["depths"])
+    assert cfg["window_size"] == _SWIN_CFG["window_size"]
+    assert cfg["embed_dim"] == _SWIN_CFG["embed_dim"]
+    assert cfg["num_classes"] == _SWIN_CFG["num_classes"]
+    # weights verbatim; the shifted block's mask must be present
+    w_ref = sd["layers.0.blocks.0.attn.qkv.weight_integer"]
+    np.testing.assert_array_equal(
+        artifact["stages"][0]["blocks"][0]["qkv"]["w"],
+        np.rint(w_ref).astype(np.int8).T,
+    )
+    assert artifact["stages"][0]["blocks"][1]["shift"] > 0
+    assert artifact["stages"][0]["blocks"][1]["mask_int"] is not None
+    assert "downsample" in artifact["stages"][0]
+
+    infer = build_swin_infer(artifact, use_pallas=False)
+    ours = np.asarray(infer(jnp.asarray(x_eval)))
+
+    assert ours.shape == ref_logits.shape
+    spread = float(np.std(ref_logits))
+    delta = float(np.max(np.abs(ref_logits - ours)))
+    assert delta < 0.05 * spread, (delta, spread)
+    np.testing.assert_array_equal(
+        np.argmax(ref_logits, -1), np.argmax(ours, -1)
+    )
+
+
+def test_swin_ingest_wrong_img_size_fails_loudly():
+    """The geometry cross-check: a wrong --input-size implies a
+    different SW-MSA mask than the checkpoint's own attn_mask buffer
+    records — must refuse, not silently mis-serve."""
+    from ivit_tpu.deploy.ingest_torch import torch_swin_state_to_artifact
+    from tests.test_ref_model_differential import _SWIN_CFG
+
+    model, _, _ = _frozen_ref_swin()
+    sd = unwrap_state_dict(model.state_dict())
+    with pytest.raises(ValueError, match="input-size|attn_mask"):
+        torch_swin_state_to_artifact(
+            sd,
+            num_heads=_SWIN_CFG["num_heads"],
+            img_size=2 * _SWIN_CFG["img_size"],
+        )
 
 
 def test_unpopulated_checkpoint_fails_loudly():
