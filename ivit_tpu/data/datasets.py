@@ -85,11 +85,14 @@ class SyntheticDataset:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         arr = rng.integers(0, 128, (self.size, self.size, 3), dtype=np.uint8)
         label = int(idx % self.num_classes)
-        # class-coded bright square on a grid
+        # class-coded bright square on a grid; beyond 64 position codes
+        # the square's brightness level codes label // 64 (3 levels →
+        # 192 distinct classes) so classes never silently alias
         cells = max(2, int(np.ceil(np.sqrt(min(self.num_classes, 64)))))
         cs = self.size // cells
         cy, cx = divmod(label % (cells * cells), cells)
-        arr[cy * cs : (cy + 1) * cs, cx * cs : (cx + 1) * cs] = 255
+        level = 255 - 48 * (label // (cells * cells))
+        arr[cy * cs : (cy + 1) * cs, cx * cs : (cx + 1) * cs] = level
         return Image.fromarray(arr), label
 
 

@@ -46,19 +46,37 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def fab_class_color(lab):
+    """Class → RGB of the coded center square: a 5×5×4 color lattice
+    (R/G levels {25,75,125,175,225}, B levels {30,90,150,210}) keeps
+    neighbouring classes ≥50 gray-levels apart per channel — far above
+    the 0..95 background noise floor's local fluctuations."""
+    return (
+        25 + 50 * (lab % 5),
+        25 + 50 * ((lab // 5) % 5),
+        30 + 60 * (lab // 25),
+    )
+
+
 def fabricate(root, train_n=2000, test_n=500, seed=0):
     """Write cifar-100-python/{train,test,meta} in the real format.
 
-    Content is learnable (class-coded squares on noise) so the trained
+    Content is learnable (class-coded, on noise) so the trained
     accuracy and the sim==engine assertion are non-trivial.  The coding
-    is HORIZONTAL-FLIP-INVARIANT: the train transform flips at p=0.5
-    unconditionally (data/transforms.py, mirroring the reference's
-    timm recipe), so a single class-coded square makes mirror-pair
-    classes indistinguishable and caps top-1 at ~50%.  Instead each
-    class draws a symmetric PAIR of squares — row band cy = c//10,
-    column pair p = (c%10)%5 at columns {p, 9-p}, brightness level
-    255 or 170 for the (c%10)<5 bit — so flip maps the signal to
-    itself and all 100 classes stay separable.
+    must survive the reference's own 32² train recipe — pad-4 random
+    crop + horizontal flip (utils/data_utils.py:76-80 semantics,
+    mirrored by data/transforms.py) — exactly as real CIFAR classes
+    do.  An earlier position-coded design used 3-px cells; the crop's
+    ±4 px jitter exceeds that pitch, so augmented train images of
+    neighbouring classes became indistinguishable and QAT plateaued at
+    chance (measured, round 4).  The robust coding: each class is the
+    RGB COLOR of a 16² center square (5 R levels × 5 G levels × 4 B
+    levels = 100 classes).  The square spans rows/cols [8, 24), so
+    every ±4 px crop keeps it fully visible and the zero padding never
+    touches it; the horizontal mirror maps [8, 24) onto itself; and
+    the recipe's signal-destroying color ops (RandAugment, jitter,
+    erasing, mixup) are disabled on the fabricated path only (see
+    run_family).
     """
     d = os.path.join(root, "cifar-100-python")
     os.makedirs(d, exist_ok=True)
@@ -70,16 +88,7 @@ def fabricate(root, train_n=2000, test_n=500, seed=0):
         imgs = np.empty((n, 3, 32, 32), np.uint8)
         for i, lab in enumerate(labels):
             arr = rng.integers(0, 96, (32, 32, 3), dtype=np.uint8)
-            cells = 10
-            cs = 32 // cells
-            cy = lab // cells
-            p = (lab % cells) % 5
-            level = 255 if (lab % cells) < 5 else 170
-            # column offset 1 centers the 30-px band in 32 px so the
-            # horizontal mirror maps cell cx exactly onto cell 9-cx
-            for cx in (p, 9 - p):
-                arr[cy * cs:(cy + 1) * cs,
-                    1 + cx * cs:1 + (cx + 1) * cs] = level
+            arr[8:24, 8:24] = fab_class_color(lab)
             imgs[i] = arr.transpose(2, 0, 1)
         with open(os.path.join(d, split), "wb") as f:
             pickle.dump(

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Train the REFERENCE's own quantized model on the identical archive.
+
+The CIFAR-100 e2e (scripts/cifar100_e2e.py) proves our QAT → freeze →
+int8-engine chain reaches non-trivial top-1 with per-image sim≡engine
+decisions. This script closes the remaining question — *is that
+accuracy level what the reference itself would get?* — by training the
+reference's executable quantized DeiT (`/root/reference/models/
+vit_quant.py`, torch CPU, .cuda() neutralized exactly like
+tests/test_ref_model_differential.py) on the SAME fabricated
+cifar-100-python archive, with the SAME host augmentation code
+(ivit_tpu.data.transforms — both frameworks consume the identical
+pad-4-crop + flip + normalize pipeline) and the same recipe
+hyperparameters (AdamW 5e-4 → cosine to lr/15, wd 1e-4, smoothing 0.1,
+batch 128 — quant_train.py defaults, mirrored from the reference's
+own flag surface).
+
+The reference's train() loop itself is CUDA/AMP-bound
+(quant_train.py:268-310: loss_scaler + .to(device)); the loop here is
+the minimal CPU re-expression of the same mathematical step — the
+MODEL, the quantization mechanics, and the data are the reference's.
+
+Usage:
+    python scripts/cifar100_e2e.py --family deit ...   # writes archive
+    python scripts/ref_train_differential.py --data /tmp/cifar_data \
+        --epochs 12 [--record FULLSCALE_r04.jsonl]
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+_REF_ROOT = "/root/reference"
+
+
+def load_archive(root):
+    d = os.path.join(root, "cifar-100-python")
+    out = {}
+    for split in ("train", "test"):
+        with open(os.path.join(d, split), "rb") as f:
+            raw = pickle.load(f, encoding="bytes")
+        imgs = raw[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        out[split] = (imgs, np.asarray(raw[b"fine_labels"], np.int64))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/tmp/cifar_data")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--record", default="")
+    args = ap.parse_args()
+
+    import torch
+
+    torch.manual_seed(0)
+    # the reference package hard-calls .cuda(); neutralize as in
+    # tests/test_ref_model_differential.py
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    if _REF_ROOT not in sys.path:
+        sys.path.insert(0, _REF_ROOT)
+    import models as ref_models  # the reference's package
+
+    from PIL import Image
+
+    from ivit_tpu.data.transforms import eval_transform, train_transform
+
+    model = ref_models.vit_quant.deit_tiny_patch16_224(
+        img_size=32, num_classes=100
+    )
+    model.train()
+
+    arch = load_archive(args.data)
+    tr_imgs, tr_labels = arch["train"]
+    te_imgs, te_labels = arch["test"]
+
+    # identical recipe to cifar100_e2e.run_family's fabricated path:
+    # pad-4 crop + flip + normalize (aa/jitter/erasing/mixup off)
+    def batch_train(idx, rng):
+        xs = [
+            train_transform(
+                Image.fromarray(tr_imgs[i]), rng, size=32,
+                color_jitter_strength=0.0, reprob=0.0,
+                use_rand_augment=False,
+            )
+            for i in idx
+        ]
+        x = torch.from_numpy(
+            np.stack(xs).transpose(0, 3, 1, 2).astype(np.float32)
+        )
+        return x, torch.from_numpy(tr_labels[idx])
+
+    eval_x = torch.from_numpy(
+        np.stack([
+            eval_transform(Image.fromarray(im), size=32) for im in te_imgs
+        ]).transpose(0, 3, 1, 2).astype(np.float32)
+    )
+    eval_y = torch.from_numpy(te_labels)
+
+    opt = torch.optim.AdamW(
+        model.parameters(), lr=args.lr, weight_decay=1e-4, eps=1e-8
+    )
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=args.epochs, eta_min=args.lr / 15
+    )
+    crit = torch.nn.CrossEntropyLoss(label_smoothing=0.1)
+
+    n = len(tr_labels)
+    steps = n // args.batch
+    best = 0.0
+    hist = []
+    for ep in range(args.epochs):
+        rng = np.random.default_rng(1000 + ep)
+        perm = rng.permutation(n)
+        model.train()
+        t0 = time.time()
+        tot_loss = 0.0
+        for s in range(steps):
+            idx = perm[s * args.batch:(s + 1) * args.batch]
+            x, y = batch_train(idx, rng)
+            out = model(x)
+            loss = crit(out, y)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            tot_loss += float(loss.detach())
+        sched.step()
+        model.eval()
+        with torch.no_grad():
+            accs = []
+            for b0 in range(0, len(eval_y), args.batch):
+                out = model(eval_x[b0:b0 + args.batch])
+                accs.append(
+                    (out.argmax(-1) == eval_y[b0:b0 + args.batch])
+                    .float().numpy()
+                )
+            acc = float(np.mean(np.concatenate(accs))) * 100
+        best = max(best, acc)
+        hist.append(round(acc, 2))
+        print(
+            f"epoch {ep}  loss {tot_loss / steps:.4f}  "
+            f"val acc@1 {acc:.2f}  ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+
+    row = {
+        "record": "ref_train_same_data",
+        "model": "reference deit_tiny (vit_quant.py, torch CPU)",
+        "data": "fabricated cifar-100-python (scripts/cifar100_e2e.py)",
+        "epochs": args.epochs,
+        "best_top1": round(best, 2),
+        "per_epoch_top1": hist,
+    }
+    print(json.dumps(row))
+    if args.record:
+        with open(args.record, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-from cifar100_e2e import fabricate  # noqa: E402
+from cifar100_e2e import fab_class_color, fabricate  # noqa: E402
 
 from ivit_tpu.data import build_dataset, eval_transform, train_transform
 from ivit_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
@@ -44,20 +44,19 @@ def test_cifar100_format_roundtrip(tmp_path):
 
     img, label = train.load(7)
     assert img.size == (32, 32) and label == 7
-    # plane-major unpack is correct: the flip-invariant class coding
-    # (symmetric square pair + brightness bit, see fabricate()) survives
+    # plane-major unpack is correct: the augmentation-robust class
+    # coding (color-lattice center square, see fabricate()) survives
     arr = np.asarray(img)
-    cy = label // 10
-    p = (label % 10) % 5
-    level = 255 if (label % 10) < 5 else 170
-    for cx in (p, 9 - p):
-        sq = arr[cy * 3:(cy + 1) * 3, 1 + cx * 3:1 + (cx + 1) * 3]
-        assert (sq == level).all()
-    # flip-invariance: mirroring the image leaves the signal cells fixed
-    flipped = arr[:, ::-1]
-    for cx in (p, 9 - p):
-        sq = flipped[cy * 3:(cy + 1) * 3, 1 + cx * 3:1 + (cx + 1) * 3]
-        assert (sq == level).all()
+    color = np.array(fab_class_color(label), np.uint8)
+    assert (arr[8:24, 8:24] == color).all()
+    # flip-invariance: mirroring maps the [8, 24) square onto itself
+    assert (arr[:, ::-1][8:24, 8:24] == color).all()
+    # pad-4-crop-invariance: any ±4 px window keeps the square whole
+    pad = np.pad(arr, ((4, 4), (4, 4), (0, 0)))
+    for y0, x0 in ((0, 0), (8, 8), (0, 8), (3, 5)):
+        crop = pad[y0:y0 + 32, x0:x0 + 32]
+        ys, xs = np.where((crop == color).all(-1))
+        assert ys.size >= 16 * 16  # full square visible
     assert arr.mean() < 200  # background is noise, not saturated
 
     # the 32² recipe branch: train is pad-4 crop (32² out), eval is
