@@ -53,6 +53,7 @@ def load_archive(root):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=["deit", "swin"], default="deit")
     ap.add_argument("--data", default="/tmp/cifar_data")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--batch", type=int, default=128)
@@ -75,9 +76,27 @@ def main():
 
     from ivit_tpu.data.transforms import eval_transform, train_transform
 
-    model = ref_models.vit_quant.deit_tiny_patch16_224(
-        img_size=32, num_classes=100
-    )
+    if args.family == "deit":
+        model = ref_models.vit_quant.deit_tiny_patch16_224(
+            img_size=32, num_classes=100
+        )
+        model_label = "reference deit_tiny (vit_quant.py, torch CPU)"
+    else:
+        # the reference's tiny factory hardcodes window 7
+        # (swin_quant.py:567-579); at 32² the e2e uses window 4, so
+        # build via the same constructor with the factory's kwargs —
+        # its blocks clamp window/shift to the stage grid exactly like
+        # ours (swin_quant.py:200-204)
+        from functools import partial
+
+        sq = ref_models.swin_quant
+        model = sq.SwinTransformer(
+            img_size=32, patch_size=4, window_size=4,
+            embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+            num_classes=100, drop_path_rate=0.0,
+            norm_layer=partial(sq.IntLayerNorm, eps=1e-6),
+        )
+        model_label = "reference swin_tiny w4 (swin_quant.py, torch CPU)"
     model.train()
 
     arch = load_archive(args.data)
@@ -155,7 +174,7 @@ def main():
 
     row = {
         "record": "ref_train_same_data",
-        "model": "reference deit_tiny (vit_quant.py, torch CPU)",
+        "model": model_label,
         "data": "fabricated cifar-100-python (scripts/cifar100_e2e.py)",
         "epochs": args.epochs,
         "best_top1": round(best, 2),
