@@ -14,6 +14,7 @@ likewise dequantizes only at the head output, vit_quant.py:278-282).
 from __future__ import annotations
 
 from functools import partial
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,11 @@ class VisionTransformer(nn.Module):
     # from the reference's row-max spec, so it must match at training
     # and deploy time — recorded in the frozen artifact
     gelu_stable: bool = False
+    # Optional activation hook applied at trunk block boundaries —
+    # e.g. parallel.mesh.seq_constraint(mesh) shards the token axis for
+    # Megatron-style sequence parallelism. Value-identity is pinned by
+    # tests/test_sp.py. None = no constraint (single-chip default).
+    act_constraint: Optional[Callable[..., "QTensor"]] = None
     interp: Interp = SIM
 
     @nn.compact
@@ -112,6 +118,8 @@ class VisionTransformer(nn.Module):
         block_cls = (
             nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         )
+        if self.act_constraint is not None:
+            x = self.act_constraint(x)
         for i in range(self.depth):
             x = block_cls(
                 dim=self.embed_dim,
@@ -126,6 +134,8 @@ class VisionTransformer(nn.Module):
                 interp=it,
                 name=f"blocks_{i}",
             )(x, train)  # positional: remat static_argnums counts args
+            if self.act_constraint is not None:
+                x = self.act_constraint(x)
 
         x = IntLayerNorm(self.embed_dim, interp=it, name="norm")(x)
         x = x.replace(q=x.q[:, 0])  # CLS token

@@ -3,7 +3,16 @@ from .mesh import (
     make_mesh,
     param_shardings,
     replicated,
+    seq_constraint,
     shard_infer,
+)
+from .pipeline import (
+    from_pp_variables,
+    make_pp_mesh,
+    make_pp_train_step,
+    pipeline_vit_forward,
+    pp_shardings,
+    to_pp_variables,
 )
 
 __all__ = [
@@ -11,5 +20,12 @@ __all__ = [
     "data_sharding",
     "param_shardings",
     "replicated",
+    "seq_constraint",
     "shard_infer",
+    "make_pp_mesh",
+    "to_pp_variables",
+    "from_pp_variables",
+    "pp_shardings",
+    "pipeline_vit_forward",
+    "make_pp_train_step",
 ]

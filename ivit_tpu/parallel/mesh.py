@@ -74,6 +74,29 @@ def _spec_for(path: str, ndim: int, model_size: int) -> P:
     return P()
 
 
+def seq_constraint(mesh: Mesh):
+    """Megatron-style sequence parallelism for the trunk activations.
+
+    Returns an activation hook (``models.vit.VisionTransformer
+    .act_constraint``) that pins block-boundary activations to
+    ``P('data', 'model', None)`` — the token axis sharded over the SAME
+    axis the TP kernels use. GSPMD then converts the TP all-reduces at
+    the row-parallel outputs into reduce-scatter + all-gather pairs and
+    runs the LayerNorm/requant chains between matmuls on 1/model of the
+    tokens per chip, cutting both the replicated VPU work and the
+    boundary HBM traffic of the non-matmul segments (the standard
+    sequence-parallel rewrite; value-identical because every chain op is
+    per-token).
+    """
+    sh = NamedSharding(mesh, P("data", "model", None))
+
+    def constrain(x):
+        q = jax.lax.with_sharding_constraint(x.q, sh)
+        return x.replace(q=q)
+
+    return constrain
+
+
 def shard_infer(infer_fn, mesh: Mesh):
     """Data-parallel deployment: jit an engine forward (deploy.engine /
     deploy.swin_engine builders — pure closures over frozen weights)
