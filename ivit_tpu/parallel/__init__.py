@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     seq_constraint,
     shard_infer,
+    zero1_shardings,
 )
 from .pipeline import (
     from_pp_variables,
@@ -22,6 +23,7 @@ __all__ = [
     "replicated",
     "seq_constraint",
     "shard_infer",
+    "zero1_shardings",
     "make_pp_mesh",
     "to_pp_variables",
     "from_pp_variables",

@@ -74,6 +74,47 @@ def _spec_for(path: str, ndim: int, model_size: int) -> P:
     return P()
 
 
+def _shard_largest(leaf, mesh: Mesh, axis: str) -> NamedSharding:
+    """Shard ``leaf`` over ``axis`` on its largest evenly divisible dim
+    (replicated when nothing divides — scalars, tiny vectors)."""
+    n = mesh.shape[axis]
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    dims = [i for i in range(ndim) if shape[i] >= n and shape[i] % n == 0]
+    if not dims:
+        return NamedSharding(mesh, P())
+    i = max(dims, key=lambda i: shape[i])
+    spec = [None] * ndim
+    spec[i] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero1_shardings(state, mesh: Mesh, include_ema: bool = True):
+    """ZeRO-1-style state sharding: params follow the TP rules
+    (:func:`param_shardings`), while the optimizer moments — and
+    optionally the EMA copy — are partitioned over the ``data`` axis on
+    their largest divisible dimension.
+
+    AdamW keeps two f32 moments per parameter; together with the EMA
+    copy that is 3× the model in per-chip HBM under plain DP. Sharding
+    them over ``data`` divides that term by the DP degree; the moment
+    update and EMA blend are elementwise, so GSPMD keeps them local to
+    each shard (the reduce-scatter/all-gather placement around the
+    gradient is XLA's call). The optimizer *math* is unchanged — the
+    sharded step must match the replicated step (tests/test_zero1.py).
+    """
+    base = param_shardings(state, mesh)
+    opt = jax.tree.map(
+        lambda leaf: _shard_largest(leaf, mesh, "data"), state.opt_state
+    )
+    kw = {"opt_state": opt}
+    if include_ema and getattr(state, "ema_params", None) is not None:
+        kw["ema_params"] = jax.tree.map(
+            lambda leaf: _shard_largest(leaf, mesh, "data"), state.ema_params
+        )
+    return base.replace(**kw)
+
+
 def seq_constraint(mesh: Mesh):
     """Megatron-style sequence parallelism for the trunk activations.
 
