@@ -86,12 +86,14 @@ class SyntheticDataset:
         arr = rng.integers(0, 128, (self.size, self.size, 3), dtype=np.uint8)
         label = int(idx % self.num_classes)
         # class-coded bright square on a grid; beyond 64 position codes
-        # the square's brightness level codes label // 64 (3 levels →
-        # 192 distinct classes) so classes never silently alias
+        # the square's brightness level codes label // 64 (3 levels
+        # stay above the 0..127 background → 192 distinct codes; with
+        # more classes the level wraps and classes alias — fine for a
+        # sanity set, and it must never overflow uint8)
         cells = max(2, int(np.ceil(np.sqrt(min(self.num_classes, 64)))))
         cs = self.size // cells
         cy, cx = divmod(label % (cells * cells), cells)
-        level = 255 - 48 * (label // (cells * cells))
+        level = 255 - 48 * ((label // (cells * cells)) % 3)
         arr[cy * cs : (cy + 1) * cs, cx * cs : (cx + 1) * cs] = level
         return Image.fromarray(arr), label
 

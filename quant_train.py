@@ -88,6 +88,16 @@ def build_parser():
     # TPU-native extras
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel axis size (data axis gets the rest)")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="Megatron-style sequence parallelism: shard the "
+                        "token axis over the model axis at block boundaries "
+                        "(value-identical, tests/test_sp.py; ViT family, "
+                        "needs --mesh-model > 1)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1 analogue: shard AdamW moments + the EMA "
+                        "copy over the data axis (cuts the 3x-model "
+                        "optimizer memory by the DP degree; step math "
+                        "unchanged, tests/test_zero1.py)")
     p.add_argument("--pretrained", type=str, default="",
                    help="path to a torch/npz checkpoint to import, or "
                         "'auto' to fetch the reference's published "
@@ -183,7 +193,13 @@ def main(argv=None):
 
     from ivit_tpu.data import build_dataset, build_dataloaders
     from ivit_tpu.models import create_model
-    from ivit_tpu.parallel import data_sharding, make_mesh, param_shardings
+    from ivit_tpu.parallel import (
+        data_sharding,
+        make_mesh,
+        param_shardings,
+        seq_constraint,
+        zero1_shardings,
+    )
     from ivit_tpu.train import (
         cosine_schedule,
         create_train_state,
@@ -244,6 +260,19 @@ def main(argv=None):
     if args.gelu_stable:
         model_kwargs["gelu_stable"] = True
     model = create_model(args.model, **model_kwargs)
+    mesh = make_mesh(model=args.mesh_model)
+    if args.seq_parallel:
+        if args.mesh_model > 1 and hasattr(model, "act_constraint"):
+            model = model.clone(act_constraint=seq_constraint(mesh))
+            logging.info(
+                "sequence parallelism: token axis over the %d-way "
+                "model axis", args.mesh_model,
+            )
+        else:
+            logging.warning(
+                "--seq-parallel ignored (needs --mesh-model > 1 and a "
+                "ViT-family model)"
+            )
     # Recorded in every checkpoint so convert_model can reconstruct the
     # EXACT model the scales were trained for — softmax_bits/gelu_stable
     # are spec-level model properties, and silently freezing a
@@ -302,8 +331,12 @@ def main(argv=None):
         best_acc1 = extra.get("best_acc1", 0.0)
         logging.info("resumed from %s at epoch %d", args.resume, start_epoch)
 
-    mesh = make_mesh(model=args.mesh_model)
-    state = jax.device_put(state, param_shardings(state, mesh))
+    state = jax.device_put(
+        state,
+        zero1_shardings(state, mesh)
+        if args.zero1
+        else param_shardings(state, mesh),
+    )
     dsh = data_sharding(mesh)
     n_proc = jax.process_count()
 
