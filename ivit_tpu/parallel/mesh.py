@@ -74,18 +74,28 @@ def _spec_for(path: str, ndim: int, model_size: int) -> P:
     return P()
 
 
-def _shard_largest(leaf, mesh: Mesh, axis: str) -> NamedSharding:
-    """Shard ``leaf`` over ``axis`` on its largest evenly divisible dim
-    (replicated when nothing divides — scalars, tiny vectors)."""
+def _add_axis(leaf, base: NamedSharding, mesh: Mesh, axis: str) -> NamedSharding:
+    """Extend ``base``'s spec with ``axis`` on the largest still-free
+    evenly divisible dim of ``leaf`` (``base`` unchanged when nothing
+    divides — scalars, tiny vectors, fully TP-occupied shapes).
+
+    Composing instead of replacing matters: the AdamW moments already
+    follow the kernels' TP layout under :func:`param_shardings`, so a
+    data-only respec would *lose* the model-axis partition and cap the
+    saving at 2x on a (data, model) mesh.
+    """
     n = mesh.shape[axis]
     ndim = getattr(leaf, "ndim", 0)
     shape = getattr(leaf, "shape", ())
-    dims = [i for i in range(ndim) if shape[i] >= n and shape[i] % n == 0]
+    spec = list(base.spec) + [None] * (ndim - len(base.spec))
+    dims = [
+        i
+        for i in range(ndim)
+        if spec[i] is None and shape[i] >= n and shape[i] % n == 0
+    ]
     if not dims:
-        return NamedSharding(mesh, P())
-    i = max(dims, key=lambda i: shape[i])
-    spec = [None] * ndim
-    spec[i] = axis
+        return base
+    spec[max(dims, key=lambda i: shape[i])] = axis
     return NamedSharding(mesh, P(*spec))
 
 
@@ -97,7 +107,9 @@ def zero1_shardings(state, mesh: Mesh, include_ema: bool = True):
 
     AdamW keeps two f32 moments per parameter; together with the EMA
     copy that is 3× the model in per-chip HBM under plain DP. Sharding
-    them over ``data`` divides that term by the DP degree; the moment
+    them over ``data`` — composed on top of the model-axis spec the
+    moments inherit from the TP rules, so a (data, model) mesh divides
+    by the FULL device count — cuts that term by the DP degree; the moment
     update and EMA blend are elementwise, so GSPMD keeps them local to
     each shard (the reduce-scatter/all-gather placement around the
     gradient is XLA's call). The optimizer *math* is unchanged — the
@@ -105,12 +117,16 @@ def zero1_shardings(state, mesh: Mesh, include_ema: bool = True):
     """
     base = param_shardings(state, mesh)
     opt = jax.tree.map(
-        lambda leaf: _shard_largest(leaf, mesh, "data"), state.opt_state
+        lambda leaf, b: _add_axis(leaf, b, mesh, "data"),
+        state.opt_state,
+        base.opt_state,
     )
     kw = {"opt_state": opt}
     if include_ema and getattr(state, "ema_params", None) is not None:
         kw["ema_params"] = jax.tree.map(
-            lambda leaf: _shard_largest(leaf, mesh, "data"), state.ema_params
+            lambda leaf, b: _add_axis(leaf, b, mesh, "data"),
+            state.ema_params,
+            base.ema_params,
         )
     return base.replace(**kw)
 

@@ -49,6 +49,33 @@ class TestZero1:
         for s in jax.tree.leaves(sh.params):
             assert s.spec == jax.sharding.PartitionSpec()
 
+    def test_composes_with_tp(self):
+        # On a (data, model) mesh the moments must keep the TP spec they
+        # inherit from param_shardings AND gain the data axis — a
+        # data-only respec would cap the per-chip saving at the DP
+        # degree alone (regression: the original implementation replaced
+        # the spec, losing the model-axis partition).
+        mesh = make_mesh(data=4, model=2)
+        model = tiny_model()
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.normal(rng, (8, 16, 16, 3))
+        state = create_train_state(
+            model, rng, images[:1], optax.adamw(1e-3), ema_decay=0.99
+        )
+        sh = zero1_shardings(state, mesh)
+        base = param_shardings(state, mesh)
+        both = 0
+        for s, b in zip(
+            jax.tree.leaves(sh.opt_state), jax.tree.leaves(base.opt_state)
+        ):
+            axes = {ax for ax in s.spec if ax}
+            if "model" in {ax for ax in b.spec if ax}:
+                # TP-sharded moment: the spec must keep 'model'.
+                assert "model" in axes, (b.spec, s.spec)
+            if axes >= {"data", "model"}:
+                both += 1
+        assert both > 0  # at least the big kernel moments carry both
+
     def test_step_matches_replicated(self):
         model = tiny_model()
         rng = jax.random.PRNGKey(0)
