@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--mesh-data", default=1, type=int,
                    help="data-parallel inference over N chips "
                         "(batch sharded on a (data,) mesh)")
+    p.add_argument("--mesh-model", default=1, type=int,
+                   help="tensor-parallel inference over N chips "
+                        "(Megatron-sharded engine weights; composes "
+                        "with --mesh-data on a (data, model) mesh; "
+                        "bit-identical to single-device)")
     p.add_argument("--max-batches", default=0, type=int,
                    help="0 = full validation set")
     p.add_argument("--dump-logits", default="",
@@ -54,7 +59,14 @@ def main(argv=None):
     build_infer = (
         build_swin_infer if args.model.startswith("swin") else build_vit_infer
     )
-    if args.mesh_data > 1:
+    if args.mesh_model > 1:
+        from ivit_tpu.parallel import make_mesh, shard_infer_tp
+
+        n = args.mesh_data * args.mesh_model
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model,
+                         devices=jax.devices()[:n])
+        infer = shard_infer_tp(artifact, mesh, build_fn=build_infer)
+    elif args.mesh_data > 1:
         from ivit_tpu.parallel import make_mesh, shard_infer
 
         mesh = make_mesh(data=args.mesh_data, model=1,

@@ -7,6 +7,7 @@ from .mesh import (
     shard_infer,
     zero1_shardings,
 )
+from .tp_infer import shard_infer_tp, tp_weight_shardings
 from .pipeline import (
     from_pp_variables,
     make_pp_mesh,
@@ -23,6 +24,8 @@ __all__ = [
     "replicated",
     "seq_constraint",
     "shard_infer",
+    "shard_infer_tp",
+    "tp_weight_shardings",
     "zero1_shardings",
     "make_pp_mesh",
     "to_pp_variables",
