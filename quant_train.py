@@ -454,6 +454,43 @@ def main(argv=None):
         acc1 = validate(start_epoch)
         return acc1
 
+    # §5.3 failure recovery: graceful preemption. Preemptible TPU pools
+    # deliver SIGTERM ahead of eviction; catch it, let the in-flight
+    # step finish, write the rolling checkpoint mid-epoch, and exit
+    # cleanly so --resume restarts the interrupted epoch (at-least-once
+    # epoch semantics — no loader fast-forward state to get wrong). The
+    # reference has no recovery story: its every-epoch save is commented
+    # out (quant_train.py:256-261), so preemption loses the entire run
+    # while accuracy hasn't improved.
+    import signal
+
+    preempt_sig: list = []
+
+    def _on_preempt(signum, frame):
+        preempt_sig.append(signum)
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _on_preempt)
+    except ValueError:  # not the main thread (in-process test callers)
+        prev_term = None
+
+    def _restore_handler():
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
+
+    def _preempt_save(epoch, step):
+        save_checkpoint(
+            ckpt_path, state,
+            {"epoch": epoch - 1, "best_acc1": best_acc1,
+             "preempted_step": step, **ckpt_meta},
+        )
+        logging.info(
+            "preempted (signal %d) at epoch %d step %d — rolling "
+            "checkpoint saved; rerun with --resume %s to restart the "
+            "epoch", preempt_sig[0], epoch, step, ckpt_path,
+        )
+        _restore_handler()
+
     step_rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
@@ -482,6 +519,9 @@ def main(argv=None):
             logger.update(loss=float(metrics["loss"]), acc1=float(metrics["acc1"]))
             logger.log(i)
             n_steps += 1
+            if preempt_sig:
+                _preempt_save(epoch, i)
+                return best_acc1
         if not n_steps:
             raise RuntimeError(
                 f"epoch {epoch} ran ZERO steps — the train loader yielded "
@@ -510,6 +550,7 @@ def main(argv=None):
         )
         logging.info("best acc@1: %.3f", best_acc1)
 
+    _restore_handler()
     return best_acc1
 
 
