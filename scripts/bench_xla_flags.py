@@ -4,9 +4,12 @@ The round-2/3/4 lever sweeps covered every *graph-level* knob (softmax
 carriers, GELU lanes, attention modes, layouts, Pallas kernels) — but
 never the compiler's own budgets. Options like
 ``xla_tpu_scoped_vmem_limit_kib`` change XLA's fusion/tiling decisions
-for the SAME HLO, so every variant here is bit-identical by
-construction (same program, different compilation budget); we still
-assert logits match the default compile.
+for the SAME HLO. Same program does NOT guarantee same bits — a
+different VMEM/fusion budget can retile f32 reductions and change
+accumulation order — so each variant's logits are checked against the
+default compile (which is pinned first and must succeed), and only
+bit-exact variants are eligible for the final "best" pick;
+non-bit-exact ones are timed but reported separately.
 
 Usage: python scripts/bench_xla_flags.py [--model deit_small] [--batch 128]
 Prints one line per variant; unknown/rejected options are recorded and
@@ -78,23 +81,31 @@ def main():
     infer = build_vit_infer(artifact)
     lowered = jax.jit(infer).lower(images)
 
-    ref_logits = None
-    results = []
+    # Pin the bit-exactness baseline to the DEFAULT compile, outside the
+    # sweep's try/except: if the default itself is rejected there is no
+    # meaningful reference and the sweep must abort rather than silently
+    # promote some other variant to baseline (ADVICE r4).
+    assert VARIANTS[0] == ("default", None)
+    compiled_default = lowered.compile(compiler_options=None)
+    ref_logits = np.asarray(compiled_default(images))
+
+    results = []  # (name, img/s, bitexact)
     for name, opts in VARIANTS:
         try:
             t0 = time.perf_counter()
-            compiled = lowered.compile(compiler_options=opts)
+            compiled = (
+                compiled_default if opts is None
+                else lowered.compile(compiler_options=opts)
+            )
             compile_s = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001 - sweep must survive rejects
             print(f"{name:10s} REJECTED: {type(e).__name__}: {e}")
             continue
         t, times = time_fn(compiled, images, iters=args.iters)
         out = np.asarray(compiled(images))
-        if ref_logits is None:
-            ref_logits = out
         bitexact = bool(np.array_equal(out, ref_logits))
         img_s = args.batch / t
-        results.append((name, img_s))
+        results.append((name, img_s, bitexact))
         print(
             f"{name:10s} {t * 1e3:7.2f} ms/iter  {img_s:8.1f} img/s  "
             f"(compile {compile_s:.1f}s, reps "
@@ -103,13 +114,19 @@ def main():
         )
         sys.stdout.flush()
 
-    if results:
-        best = max(results, key=lambda r: r[1])
-        base = dict(results).get("default")
+    exact = [r for r in results if r[2]]
+    if exact:
+        best = max(exact, key=lambda r: r[1])
+        base = {r[0]: r[1] for r in results}.get("default")
         print(
-            f"\nbest: {best[0]} {best[1]:.1f} img/s"
-            + (f" ({100 * (best[1] / base - 1):+.1f}% vs default)" if base else "")
+            f"\nbest (bit-exact only): {best[0]} {best[1]:.1f} img/s"
+            + (f" ({100 * (best[1] / base - 1):+.1f}% vs default)"
+               if base else "")
         )
+    divergent = [r for r in results if not r[2]]
+    if divergent:
+        print("excluded from 'best' (logits diverge from default): "
+              + ", ".join(f"{n} {v:.1f} img/s" for n, v, _ in divergent))
 
 
 if __name__ == "__main__":
