@@ -14,7 +14,10 @@ from .pipeline import (
     make_pp_train_step,
     pipeline_vit_forward,
     pp_shardings,
+    pp_tree_shardings,
+    stack_blocks,
     to_pp_variables,
+    unstack_blocks,
 )
 
 __all__ = [
@@ -28,9 +31,12 @@ __all__ = [
     "tp_weight_shardings",
     "zero1_shardings",
     "make_pp_mesh",
+    "stack_blocks",
+    "unstack_blocks",
     "to_pp_variables",
     "from_pp_variables",
     "pp_shardings",
     "pipeline_vit_forward",
     "make_pp_train_step",
+    "pp_tree_shardings",
 ]

@@ -68,56 +68,65 @@ def make_pp_mesh(data: int = 1, pipe: int = 2, devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def to_pp_variables(variables, depth: int):
-    """Restack ``blocks_0..blocks_{d-1}`` subtrees into one ``blocks``
-    subtree with a leading ``depth`` axis (shardable ``P('pipe')``).
+def stack_blocks(tree, depth: int):
+    """Restack one column tree's ``blocks_0..blocks_{d-1}`` subtrees into
+    a single ``blocks`` subtree with a leading ``depth`` axis (shardable
+    ``P('pipe')``). Inverse of :func:`unstack_blocks`; round-trip exact."""
+    rest = {k: v for k, v in tree.items() if not k.startswith("blocks_")}
+    per_block = [tree[f"blocks_{i}"] for i in range(depth)]
+    rest["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_block)
+    return rest
 
-    Inverse of :func:`from_pp_variables`; round-trip is exact, so
-    checkpoints written by either layout interconvert losslessly.
-    """
-    out = {}
-    for col in ("params", "quant_stats"):
-        rest = {
-            k: v
-            for k, v in variables[col].items()
-            if not k.startswith("blocks_")
-        }
-        per_block = [variables[col][f"blocks_{i}"] for i in range(depth)]
-        rest["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_block)
-        out[col] = rest
-    return out
+
+def unstack_blocks(tree, depth: int):
+    """Unstack a ``blocks`` subtree back into ``blocks_i`` keys."""
+    rest = {k: v for k, v in tree.items() if k != "blocks"}
+    for i in range(depth):
+        rest[f"blocks_{i}"] = jax.tree.map(
+            lambda a, i=i: a[i], tree["blocks"]
+        )
+    return rest
+
+
+def to_pp_variables(variables, depth: int):
+    """Restack both variable columns (params, quant_stats) into the
+    stacked-``blocks`` layout. Checkpoints written by either layout
+    interconvert losslessly (round-trip is exact)."""
+    return {
+        col: stack_blocks(variables[col], depth)
+        for col in ("params", "quant_stats")
+    }
 
 
 def from_pp_variables(pp_vars, depth: int):
-    """Unstack a ``blocks`` subtree back into ``blocks_i`` keys."""
-    out = {}
-    for col in ("params", "quant_stats"):
-        rest = {k: v for k, v in pp_vars[col].items() if k != "blocks"}
-        for i in range(depth):
-            rest[f"blocks_{i}"] = jax.tree.map(
-                lambda a, i=i: a[i], pp_vars[col]["blocks"]
-            )
-        out[col] = rest
-    return out
+    """Unstack both variable columns back into ``blocks_i`` keys."""
+    return {
+        col: unstack_blocks(pp_vars[col], depth)
+        for col in ("params", "quant_stats")
+    }
+
+
+def pp_tree_shardings(tree, mesh: Mesh):
+    """NamedShardings for ONE stacked-layout tree: ``blocks`` leaves
+    partitioned over ``pipe`` on the stacked depth axis (true per-stage
+    placement); the small prologue / epilogue subtrees replicated."""
+    rest = {
+        k: jax.tree.map(lambda _: NamedSharding(mesh, P()), v)
+        for k, v in tree.items()
+        if k != "blocks"
+    }
+    rest["blocks"] = jax.tree.map(
+        lambda _: NamedSharding(mesh, P("pipe")), tree["blocks"]
+    )
+    return rest
 
 
 def pp_shardings(pp_vars, mesh: Mesh):
-    """NamedShardings: ``blocks`` leaves partitioned over ``pipe`` on the
-    stacked depth axis (true per-stage placement); the small prologue /
-    epilogue trees replicated."""
-
-    def one(col):
-        rest = {
-            k: jax.tree.map(lambda _: NamedSharding(mesh, P()), v)
-            for k, v in pp_vars[col].items()
-            if k != "blocks"
-        }
-        rest["blocks"] = jax.tree.map(
-            lambda _: NamedSharding(mesh, P("pipe")), pp_vars[col]["blocks"]
-        )
-        return rest
-
-    return {col: one(col) for col in ("params", "quant_stats")}
+    """NamedShardings for both stacked variable columns."""
+    return {
+        col: pp_tree_shardings(pp_vars[col], mesh)
+        for col in ("params", "quant_stats")
+    }
 
 
 def vit_block(model) -> Block:
@@ -302,19 +311,34 @@ def pipeline_vit_forward(
 
 
 def make_pp_train_step(
-    model, mesh: Mesh, n_micro: int, tx, grad_clip: Optional[float] = None
+    model,
+    mesh: Mesh,
+    n_micro: int,
+    tx,
+    grad_clip: Optional[float] = None,
+    ema_decay: float = 0.0,
 ):
     """Pipelined training step on stacked variables.
 
     Frozen-range finetune semantics (see module docstring): forward is
-    the pipelined graph above, loss is soft-target CE, reverse-mode AD
-    runs the backward pipeline through the same ``scan``+``ppermute``
-    schedule. Stage parameters stay sharded ``P('pipe')`` end-to-end —
-    gradients and optimizer state inherit the placement, so optimizer
-    math is local to each stage (no gather of the full model anywhere).
-    """
+    the pipelined graph above, loss is soft-target CE on the caller's
+    (possibly mixup) soft targets — the same contract as
+    ``train.steps.make_train_step`` — and reverse-mode AD runs the
+    backward pipeline through the same ``scan``+``ppermute`` schedule.
+    Stage parameters stay sharded ``P('pipe')`` end-to-end — gradients,
+    optimizer state, and the EMA copy inherit the placement, so
+    optimizer math is local to each stage (no gather of the full model
+    anywhere).
 
-    def step(params, quant_stats, opt_state, images, targets):
+    Signature: ``(params, quant_stats, opt_state, ema_params, images,
+    targets) → (params, opt_state, ema_params, metrics)`` with
+    ``metrics = {'loss', 'acc1'}`` — matching the non-pipelined step's
+    surface so ``quant_train --pipe`` reuses the same loop. Pass
+    ``ema_params=None`` when EMA is off.
+    """
+    from ..train.losses import topk_accuracy
+
+    def step(params, quant_stats, opt_state, ema_params, images, targets):
         def loss_fn(p):
             logits = pipeline_vit_forward(
                 model,
@@ -335,6 +359,16 @@ def make_pp_train_step(
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, logits
+        if ema_params is not None:
+            ema_params = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema_params,
+                params,
+            )
+        metrics = {
+            "loss": loss,
+            "acc1": topk_accuracy(logits, jnp.argmax(targets, -1), 1),
+        }
+        return params, opt_state, ema_params, metrics
 
     return step

@@ -93,6 +93,22 @@ def build_parser():
                         "token axis over the model axis at block boundaries "
                         "(value-identical, tests/test_sp.py; ViT family, "
                         "needs --mesh-model > 1)")
+    p.add_argument("--pipe", type=int, default=1,
+                   help="pipeline-parallel stages: shard the block trunk "
+                        "over a (data, pipe) mesh, GPipe schedule "
+                        "(parallel/pipeline.py; forward bit-identical to "
+                        "sequential, tests/test_pipeline.py). FROZEN-RANGE "
+                        "finetune semantics: activation ranges do not EMA-"
+                        "update and the step graph is deterministic (no "
+                        "dropout/drop-path), so populate ranges first via "
+                        "--calib-batches or --resume. ViT family; depth "
+                        "must divide by the stage count; exclusive with "
+                        "--mesh-model/--seq-parallel/--zero1; optimizer "
+                        "state restarts fresh (not carried from --resume)")
+    p.add_argument("--pipe-microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = auto: the "
+                        "largest M <= 2*pipe dividing the batch evenly "
+                        "over the data axis)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1 analogue: shard AdamW moments + the EMA "
                         "copy over the data axis (cuts the 3x-model "
@@ -260,6 +276,31 @@ def main(argv=None):
     if args.gelu_stable:
         model_kwargs["gelu_stable"] = True
     model = create_model(args.model, **model_kwargs)
+    if args.pipe > 1:
+        if args.model.startswith("swin"):
+            raise SystemExit(
+                "--pipe supports the ViT family only: the Swin trunk is "
+                "stage-heterogeneous (resolutions halve and dims double "
+                "at each PatchMerging), so its blocks do not stack into "
+                "one shardable depth axis"
+            )
+        if args.mesh_model > 1 or args.seq_parallel or args.zero1:
+            raise SystemExit(
+                "--pipe is exclusive with --mesh-model/--seq-parallel/"
+                "--zero1: the pipeline manages its own (data, pipe) mesh"
+            )
+        if model.depth % args.pipe:
+            raise SystemExit(
+                f"--pipe {args.pipe} does not divide {args.model}'s "
+                f"depth {model.depth}"
+            )
+        if not args.eval and not (args.resume or args.calib_batches > 0):
+            raise SystemExit(
+                "--pipe runs frozen-range finetune semantics (EMA range "
+                "updates are sequential-batch semantics; see "
+                "parallel/pipeline.py): populate activation ranges first "
+                "with --calib-batches N or --resume a trained checkpoint"
+            )
     mesh = make_mesh(model=args.mesh_model)
     if args.seq_parallel:
         if args.mesh_model > 1 and hasattr(model, "act_constraint"):
@@ -490,6 +531,195 @@ def main(argv=None):
             "epoch", preempt_sig[0], epoch, step, ckpt_path,
         )
         _restore_handler()
+
+    if args.pipe > 1:
+        # -------- pipeline-parallel training loop (--pipe N) ---------
+        # GPipe over a (data, pipe) mesh; the documented subset vs the
+        # standard loop: frozen activation ranges, deterministic step
+        # graph (no dropout/drop-path), optimizer state starts fresh.
+        # Mixup targets, EMA, metrics, preemption, and checkpointing
+        # are all live. Library: parallel/pipeline.py (forward is
+        # bit-identical to sequential apply, tests/test_pipeline.py).
+        from ivit_tpu.parallel import (
+            from_pp_variables,
+            make_pp_mesh,
+            make_pp_train_step,
+            pipeline_vit_forward,
+            pp_shardings,
+            pp_tree_shardings,
+            stack_blocks,
+            to_pp_variables,
+            unstack_blocks,
+        )
+
+        n_dev = jax.device_count()
+        if n_dev % args.pipe:
+            raise SystemExit(
+                f"--pipe {args.pipe} does not divide the "
+                f"{n_dev}-device mesh"
+            )
+        data_pp = n_dev // args.pipe
+        B = args.batch_size
+        n_micro = args.pipe_microbatches
+        if n_micro == 0:
+            for cand in range(min(2 * args.pipe, B), 0, -1):
+                if B % cand == 0 and (B // cand) % data_pp == 0:
+                    n_micro = cand
+                    break
+        if (n_micro == 0 or B % n_micro
+                or (B // n_micro) % data_pp):
+            raise SystemExit(
+                f"no valid microbatch count: batch {B} must split into "
+                f"M microbatches of a multiple of data={data_pp} rows "
+                f"(got --pipe-microbatches {args.pipe_microbatches})"
+            )
+        pp_mesh = make_pp_mesh(data=data_pp, pipe=args.pipe)
+        logging.info(
+            "pipeline parallelism: (data=%d, pipe=%d) mesh, "
+            "%d microbatches/step", data_pp, args.pipe, n_micro,
+        )
+
+        pp_vars = to_pp_variables(
+            {"params": state.params, "quant_stats": state.quant_stats},
+            model.depth,
+        )
+        pp_vars = jax.device_put(pp_vars, pp_shardings(pp_vars, pp_mesh))
+        pp_params = pp_vars["params"]
+        pp_stats = pp_vars["quant_stats"]
+        pp_ema = None
+        if ema_decay:
+            pp_ema = stack_blocks(state.ema_params, model.depth)
+            pp_ema = jax.device_put(
+                pp_ema, pp_tree_shardings(pp_ema, pp_mesh)
+            )
+        pp_opt = tx.init(pp_params)
+        pp_step = jax.jit(
+            make_pp_train_step(
+                model, pp_mesh, n_micro, tx,
+                grad_clip=args.clip_grad, ema_decay=ema_decay,
+            ),
+            donate_argnums=(0, 2, 3),
+        )
+        pp_fwd = jax.jit(
+            lambda v, x: pipeline_vit_forward(model, v, x, pp_mesh, n_micro)
+        )
+        dsh_pp = data_sharding(pp_mesh)
+        pad_mult = n_micro * data_pp
+
+        def pp_validate(epoch):
+            variables = {"params": pp_params, "quant_stats": pp_stats}
+            acc1 = AverageMeter("acc1")
+            acc5 = AverageMeter("acc5")
+            for images, labels in val_loader:
+                n = images.shape[0]
+                pad = -n % pad_mult
+                if pad:
+                    idx = np.arange(pad) % n
+                    images = np.concatenate([images, images[idx]])
+                logits = np.asarray(
+                    pp_fwd(variables, put_global(images, dsh_pp))
+                )[:n]
+                order = np.argsort(logits, -1)
+                labels = np.asarray(labels)
+                acc1.update(
+                    100.0 * float(np.mean(order[:, -1] == labels)), n
+                )
+                acc5.update(
+                    100.0 * float(
+                        np.mean((order[:, -5:] == labels[:, None]).any(-1))
+                    ),
+                    n,
+                )
+            logging.info(
+                "epoch %d  val acc@1 %.3f  acc@5 %.3f",
+                epoch, acc1.avg, acc5.avg,
+            )
+            return acc1.avg
+
+        def pp_state():
+            un = from_pp_variables(
+                {"params": pp_params, "quant_stats": pp_stats}, model.depth
+            )
+            return state.replace(
+                params=un["params"],
+                quant_stats=un["quant_stats"],
+                ema_params=(
+                    unstack_blocks(pp_ema, model.depth)
+                    if pp_ema is not None else state.ema_params
+                ),
+            )
+
+        for epoch in range(start_epoch, args.epochs):
+            train_loader.set_epoch(epoch)
+            logger = MetricLogger(
+                len(train_loader), prefix=f"epoch {epoch} ",
+                print_freq=args.print_freq,
+            )
+            t0 = time.time()
+            n_steps = 0
+            for i, (images, labels) in enumerate(train_loader):
+                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                    break
+                if images.shape[0] != B:
+                    continue  # GPipe needs the full static batch
+                step_rng_pp = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 1), epoch * 100000 + i
+                )
+                images = put_global(images, dsh_pp)
+                labels = put_global(labels, dsh_pp)
+                if use_mixup:
+                    images, targets = mix_fn(step_rng_pp, images, labels)
+                else:
+                    targets = onehot_fn(labels)
+                pp_params, pp_opt, pp_ema, metrics = pp_step(
+                    pp_params, pp_stats, pp_opt, pp_ema, images, targets
+                )
+                logger.update(
+                    loss=float(metrics["loss"]),
+                    acc1=float(metrics["acc1"]),
+                )
+                logger.log(i)
+                n_steps += 1
+                if preempt_sig:
+                    save_checkpoint(
+                        ckpt_path, pp_state(),
+                        {"epoch": epoch - 1, "best_acc1": best_acc1,
+                         "preempted_step": i, "pipe": args.pipe,
+                         **ckpt_meta},
+                    )
+                    logging.info(
+                        "preempted (signal %d) at epoch %d step %d — "
+                        "rolling checkpoint saved; rerun with --resume "
+                        "%s", preempt_sig[0], epoch, i, ckpt_path,
+                    )
+                    _restore_handler()
+                    return best_acc1
+            if not n_steps:
+                raise RuntimeError(
+                    f"epoch {epoch} ran ZERO steps — the train loader "
+                    "yielded nothing (or no full batch for GPipe)"
+                )
+            logging.info(
+                "epoch %d done in %.1fs (%d steps)",
+                epoch, time.time() - t0, n_steps,
+            )
+            acc1 = pp_validate(epoch)
+            if acc1 > best_acc1:
+                best_acc1 = acc1
+                save_checkpoint(
+                    os.path.join(args.output_dir, "best.pkl"), pp_state(),
+                    {"epoch": epoch, "best_acc1": best_acc1,
+                     "pipe": args.pipe, **ckpt_meta},
+                )
+            save_checkpoint(
+                ckpt_path, pp_state(),
+                {"epoch": epoch, "best_acc1": best_acc1,
+                 "pipe": args.pipe, **ckpt_meta},
+            )
+            logging.info("best acc@1: %.3f", best_acc1)
+
+        _restore_handler()
+        return best_acc1
 
     step_rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs):

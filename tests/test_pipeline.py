@@ -171,10 +171,11 @@ class TestPipelineTrainStep:
         params = pp_vars["params"]
         losses = []
         for _ in range(8):
-            params, opt_state, loss, _ = step(
-                params, pp_vars["quant_stats"], opt_state, images, targets
+            params, opt_state, _, metrics = step(
+                params, pp_vars["quant_stats"], opt_state, None,
+                images, targets,
             )
-            losses.append(float(loss))
+            losses.append(float(metrics["loss"]))
         assert all(np.isfinite(losses)), losses
         assert losses[-1] < losses[0], losses
 
@@ -188,7 +189,7 @@ class TestPipelineTrainStep:
         opt_state = tx.init(pp_vars["params"])
         step = jax.jit(make_pp_train_step(model, mesh, n_micro=4, tx=tx))
         params, _, _, _ = step(
-            pp_vars["params"], pp_vars["quant_stats"], opt_state,
+            pp_vars["params"], pp_vars["quant_stats"], opt_state, None,
             images, targets,
         )
         # Stage params keep their P('pipe') sharding after the update —
