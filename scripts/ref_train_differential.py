@@ -20,10 +20,21 @@ The reference's train() loop itself is CUDA/AMP-bound
 the minimal CPU re-expression of the same mathematical step — the
 MODEL, the quantization mechanics, and the data are the reference's.
 
+Round 5 extends it into the MIGRATION leg (VERDICT r4 #1): with
+``--save-checkpoint`` the converged model is frozen with the
+reference's own ``freeze_model`` (models/model_utils.py:5-21), saved in
+the reference's ``checkpoint.pth.tar`` form ({'model': state_dict} —
+the shape quant_train.py:216-231 resumes from and the TVM converter
+reads, TVM_benchmark/convert_model.py:162), and its frozen per-image
+eval logits are dumped — so `scripts/migrate_ref_checkpoint.py` can
+assert that `convert_model --torch-checkpoint` → int8 engine
+reproduces the reference torch model's own eval decisions.
+
 Usage:
     python scripts/cifar100_e2e.py --family deit ...   # writes archive
     python scripts/ref_train_differential.py --data /tmp/cifar_data \
-        --epochs 12 [--record FULLSCALE_r04.jsonl]
+        --epochs 12 [--record FULLSCALE_r04.jsonl] \
+        [--save-checkpoint ckpt.pth.tar --dump-logits ref_logits.npz]
 """
 
 import argparse
@@ -59,6 +70,15 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--record", default="")
+    ap.add_argument("--save-checkpoint", default="",
+                    help="save the converged, frozen model as the "
+                         "reference's checkpoint.pth.tar form "
+                         "({'model': state_dict})")
+    ap.add_argument("--dump-logits", default="",
+                    help="save the frozen model's per-image eval "
+                         "logits+labels to this .npz (sequential test "
+                         "order — aligns with evaluate_accuracy "
+                         "--dump-logits)")
     args = ap.parse_args()
 
     import torch
@@ -134,14 +154,29 @@ def main():
     )
     crit = torch.nn.CrossEntropyLoss(label_smoothing=0.1)
 
+    def evaluate():
+        """Frozen no-grad eval sweep; returns (top1 %, logits array)."""
+        model.eval()
+        with torch.no_grad():
+            outs = []
+            for b0 in range(0, len(eval_y), args.batch):
+                outs.append(model(eval_x[b0:b0 + args.batch]).numpy())
+        logits = np.concatenate(outs)
+        acc = float(np.mean(np.argmax(logits, -1) == te_labels)) * 100
+        return acc, logits
+
     n = len(tr_labels)
     steps = n // args.batch
     best = 0.0
     hist = []
+    logits = None
     for ep in range(args.epochs):
         rng = np.random.default_rng(1000 + ep)
         perm = rng.permutation(n)
+        # the reference's own epoch protocol: train() unfreezes EMA
+        # range tracking, validate() freezes it (quant_train.py:277,326)
         model.train()
+        ref_models.model_utils.unfreeze_model(model)
         t0 = time.time()
         tot_loss = 0.0
         for s in range(steps):
@@ -154,16 +189,8 @@ def main():
             opt.step()
             tot_loss += float(loss.detach())
         sched.step()
-        model.eval()
-        with torch.no_grad():
-            accs = []
-            for b0 in range(0, len(eval_y), args.batch):
-                out = model(eval_x[b0:b0 + args.batch])
-                accs.append(
-                    (out.argmax(-1) == eval_y[b0:b0 + args.batch])
-                    .float().numpy()
-                )
-            acc = float(np.mean(np.concatenate(accs))) * 100
+        ref_models.model_utils.freeze_model(model)
+        acc, logits = evaluate()
         best = max(best, acc)
         hist.append(round(acc, 2))
         print(
@@ -172,12 +199,26 @@ def main():
             flush=True,
         )
 
+    if args.save_checkpoint:
+        # checkpoint.pth.tar form: quant_train.py saves the best model
+        # under 'model' (quant_train.py:256-261 / resume :223); the
+        # state dict carries the weight_integer/bias_integer/
+        # *_scaling_factor buffers the converter ingests — values from
+        # the frozen eval forward above (scales EMA-frozen by fix()).
+        torch.save({"model": model.state_dict()}, args.save_checkpoint)
+        print(f"saved frozen reference checkpoint → {args.save_checkpoint}")
+    if args.dump_logits:
+        np.savez(args.dump_logits, logits=logits, labels=te_labels)
+        print(f"dumped {len(te_labels)} reference eval logits → "
+              f"{args.dump_logits}")
+
     row = {
         "record": "ref_train_same_data",
         "model": model_label,
         "data": "fabricated cifar-100-python (scripts/cifar100_e2e.py)",
         "epochs": args.epochs,
         "best_top1": round(best, 2),
+        "final_top1": hist[-1] if hist else None,
         "per_epoch_top1": hist,
     }
     print(json.dumps(row))
