@@ -58,7 +58,7 @@ def fab_class_color(lab):
     )
 
 
-def fabricate(root, train_n=2000, test_n=500, seed=0):
+def fabricate(root, train_n=2000, test_n=500, seed=0, hard=0):
     """Write cifar-100-python/{train,test,meta} in the real format.
 
     Content is learnable (class-coded, on noise) so the trained
@@ -77,18 +77,36 @@ def fabricate(root, train_n=2000, test_n=500, seed=0):
     the recipe's signal-destroying color ops (RandAugment, jitter,
     erasing, mixup) are disabled on the fabricated path only (see
     run_family).
+
+    ``hard`` (round 5): a NON-SATURATING variant. At 100% top-1 the
+    same-data differential proves less than it appears to (VERDICT r4
+    weak #4) — a ceiling cannot discriminate a subtle QAT defect. With
+    ``hard=h`` each image's square color gets one per-image additive
+    offset ~ U(-h, +h) per channel (constant across the square, so
+    pooling cannot average it away). Adjacent R/G levels are 50 apart
+    (B: 60): for h > 25 the observation windows of neighbouring classes
+    overlap and the BAYES-OPTIMAL accuracy drops below 100% by
+    construction (numerically: h=28 → 81.2%, h=30 → 72.4%, h=32 →
+    62.6% — nearest-level ML decode, 200k draws). Both stacks then
+    train against a real irreducible error floor instead of a
+    memorizable ceiling.
     """
     d = os.path.join(root, "cifar-100-python")
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "FABRICATED"), "w") as f:
         f.write("written by scripts/cifar100_e2e.py — not real CIFAR\n")
+        if hard:
+            f.write(f"hard variant: square-color noise U(-{hard},{hard})\n")
     for split, n, off in (("train", train_n, 0), ("test", test_n, 1)):
         rng = np.random.default_rng(seed + off)
         labels = [int(i % 100) for i in range(n)]
         imgs = np.empty((n, 3, 32, 32), np.uint8)
         for i, lab in enumerate(labels):
             arr = rng.integers(0, 96, (32, 32, 3), dtype=np.uint8)
-            arr[8:24, 8:24] = fab_class_color(lab)
+            color = np.asarray(fab_class_color(lab), np.int64)
+            if hard:
+                color = color + rng.integers(-hard, hard + 1, 3)
+            arr[8:24, 8:24] = np.clip(color, 0, 255).astype(np.uint8)
             imgs[i] = arr.transpose(2, 0, 1)
         with open(os.path.join(d, split), "wb") as f:
             pickle.dump(
@@ -219,6 +237,11 @@ def main():
     ap.add_argument("--train-n", type=int, default=2000)
     ap.add_argument("--test-n", type=int, default=500)
     ap.add_argument("--fast-matmul", action="store_true")
+    ap.add_argument("--hard", type=int, default=0,
+                    help="non-saturating fabricated variant: per-image "
+                         "square-color noise half-width (e.g. 30 → "
+                         "Bayes ceiling in the 60–90%% band). Use a "
+                         "fresh --data dir")
     opts = ap.parse_args()
 
     os.makedirs(opts.workdir, exist_ok=True)
@@ -226,11 +249,16 @@ def main():
     real = os.path.isfile(
         os.path.join(opts.data, "cifar-100-python", "train")
     ) and not os.path.isfile(marker)
+    if real and opts.hard:
+        raise SystemExit("--hard writes a fabricated archive; --data "
+                         "already holds real CIFAR bytes")
     if not real:
         print("cifar-100-python not found under --data; writing a "
               "FABRICATED archive in the real on-disk format "
-              "(egress blocked on this box — see module docstring)")
-        fabricate(opts.data, opts.train_n, opts.test_n)
+              "(egress blocked on this box — see module docstring)"
+              + (f" [hard variant, noise ±{opts.hard}]" if opts.hard
+                 else ""))
+        fabricate(opts.data, opts.train_n, opts.test_n, hard=opts.hard)
     print(f"data: {'REAL CIFAR-100' if real else 'FABRICATED (format-exact)'}"
           f" at {opts.data}")
     opts.fabricated = not real
