@@ -208,6 +208,7 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
                      sm_packed: bool = False,
                      scores_f32: bool = False,
                      qkv_hmajor: bool = False,
+                     qkv_wmajor: bool = False,
                      win_pad: int = 0,
                      pallas_ops: tuple = ()):
     """Jittable int8 Swin inference: float NHWC images → logits.
@@ -229,6 +230,17 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
     (the fused kernel's own mechanism), so valid rows' probabilities,
     sums, and context are bit-equal; padded context rows are sliced
     off before the projection.
+
+    ``qkv_wmajor`` — the round-4 closure's named untried route: fuse
+    the head-split into the qkv GEMM itself at trace level. The
+    projection is expressed as ``dot_general(w(3,H,hd,C), x(Bw,N,C))``
+    → qkv already head-major ``(3, H, hd, Bw, N)`` straight out of the
+    MXU (requant epilogue fused, per-channel ratios reshaped along);
+    the score dots then batch over (H, Bw) on GEMM-native planes and
+    the projection contracts (H, hd) directly — no head-split reshape
+    exists anywhere for XLA to re-lay-out around the N=49 window dots.
+    Bit-identical: same int32 accumulations, same per-element requant
+    ratios, only the tensor layout differs.
 
     ``pallas_ops=("attention",)`` fuses the whole window-attention tail
     (q@kᵀ → requant → bias merge → mask → 8-bit Shiftmax → int8 @V →
@@ -258,9 +270,102 @@ def build_swin_infer(artifact: dict, use_pallas: bool | None = None,
     gelu_stable = bool(cfg.get("gelu_stable", False))
     p = cfg["patch_size"]
     interpret = pallas_interpret
+    if qkv_wmajor and (win_pad or qkv_hmajor or scores_f32 or p_attn):
+        raise ValueError(
+            "qkv_wmajor is a standalone layout probe — do not combine "
+            "with win_pad/qkv_hmajor/scores_f32/pallas attention"
+        )
+
+    def _attention_wmajor(x8, blk):
+        """qkv_wmajor probe: head-split fused into the GEMM output.
+
+        ``dot_general(w(3,H,hd,C), x8(Bw,N,C))`` emits qkv head-major
+        (3, H, hd, Bw, N) int32; the fused requant epilogue applies the
+        same per-channel ratios reshaped (3, H, hd, 1, 1). Scores batch
+        over (H, Bw) on these GEMM-native planes; the projection
+        contracts (H, hd) directly back to (Bw, N, C). Value path is
+        element-for-element identical to the default (int32 dots are
+        exactly associative; requant ratios unchanged) — pinned by
+        tests/test_swin_deploy.py."""
+        Bw, N, C = x8.shape
+        H = blk["heads"]
+        hd = C // H
+
+        w3 = jnp.asarray(blk["qkv"]["w"]).T.reshape(3, H, hd, C)
+        acc = jax.lax.dot_general(
+            w3, x8,
+            dimension_numbers=(((3,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (3, H, hd, Bw, N)
+        if "b" in blk["qkv"]:
+            acc = acc + jnp.asarray(blk["qkv"]["b"]).reshape(3, H, hd, 1, 1)
+        sa1 = _scale(blk["s_attn_qact1"])
+        ratio = (_scale(blk["qkv"]["out_scale"]) / sa1).reshape(
+            3, H, hd, 1, 1
+        )
+        z = _requant(acc, ratio, *_INT8, jnp.int8)
+        q, k, v = z[0], z[1], z[2]  # (H, hd, Bw, N)
+
+        attn = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((0, 2), (0, 2))),
+            preferred_element_type=jnp.int32,
+        )  # (H, Bw, Nq, Nk)
+        s_attn = sa1 * sa1 * np.float32(float(hd) ** -0.5)
+        s1 = _scale(blk["s_attn1"])
+        a8 = _requant(attn, s_attn / s1, *_INT8, jnp.float32)
+
+        sb = _scale(blk["s_bias"])
+        bias = jnp.asarray(blk["bias_req"])  # (H, N, N)
+        a8 = jnp.clip(jnp.round(a8 * (s1 / sb)) + bias[:, None], *_INT8)
+        a8 = _mat(a8, jnp.int8).astype(jnp.float32)
+        if blk["mask_int"] is not None:
+            m = jnp.asarray(blk["mask_int"])  # (nW, N, N)
+            nW = m.shape[0]
+            a8 = (
+                a8.reshape(H, Bw // nW, nW, N, N) + m[None, None]
+            ).reshape(H, Bw, N, N)
+            sm, _ = shiftmax(
+                a8, sb, out_bits=8, interp=DEPLOY,
+                static_p=math.ceil(1.0 / float(blk["s_bias"])),
+                in_lo=-math.inf,
+            )
+        else:
+            sm, _ = shiftmax(
+                a8, sb, out_bits=8, interp=DEPLOY,
+                static_p=math.ceil(1.0 / float(blk["s_bias"])),
+            )
+        s_sm = 1.0 / 2.0**7
+
+        sm8 = sm.astype(jnp.int8)
+        ctx = jax.lax.dot_general(
+            sm8, v,
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.int32,
+        )  # (H, Bw, N, hd)
+        s_ctx = s_sm * sa1
+        so = _scale(blk["s_attn_out"])
+        c8 = _mat(_requant(ctx, s_ctx / so, *_INT8, jnp.int8), jnp.int8)
+
+        wp = jnp.asarray(blk["proj"]["w"]).reshape(H, hd, C)
+        acc = jax.lax.dot_general(
+            c8, wp,
+            dimension_numbers=(((0, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Bw, N, C)
+        if "b" in blk["proj"]:
+            acc = acc + jnp.asarray(blk["proj"]["b"])
+        sap = _scale(blk["s_attn_proj"])
+        out = _requant(
+            acc, _scale(blk["proj"]["out_scale"]) / sap, *_INT16,
+            jnp.float32,
+        )
+        return out, sap
 
     def _attention(x8, blk):
         """x8: (B·nW, N, C) int8 windows at s_qact1."""
+        if qkv_wmajor:
+            return _attention_wmajor(x8, blk)
         Bw, N, C = x8.shape
         H = blk["heads"]
         hd = C // H

@@ -2,13 +2,14 @@
 
 Usage: python scripts/bench_zoo.py [--ship] [--smpack] [--scoresf32]
                                    [--pattn] [--hmajor] [--winpad=N]
-                                   [model ...]
+                                   [--wmajor] [model ...]
 Defaults to the six flagship configs. Loop-timed with final readback.
 ``--smpack`` / ``--scoresf32`` select the bit-identical engine variants
 (packed-u16 softmax boundary; bf16→f32 window dots, Swin only);
-``--pattn`` / ``--hmajor`` / ``--winpad=N`` are the Swin score-layout
-probes (fused Pallas window attention; head-major q/k/v carriers;
-token-axis pad to N) — all bit-identical to the default engine.
+``--pattn`` / ``--hmajor`` / ``--winpad=N`` / ``--wmajor`` are the Swin
+score-layout probes (fused Pallas window attention; head-major q/k/v
+carriers; token-axis pad to N; head-split fused into the qkv GEMM) —
+all bit-identical to the default engine.
 
 ``--ship`` freezes each model in the shipping perf config (the one
 bench.py times): 8-bit softmax probabilities + pure int8 attn@V for the
@@ -81,6 +82,10 @@ def main():
         if "--hmajor" in argv and is_swin:
             # probe (b): explicit head-major q/k/v carriers
             kw["qkv_hmajor"] = True
+        if "--wmajor" in argv and is_swin:
+            # round-5 spec-level probe: the qkv GEMM itself emits
+            # head-major (3,H,hd,Bw,N) planes (no head-split anywhere)
+            kw["qkv_wmajor"] = True
         for a in argv:
             if a.startswith("--winpad=") and is_swin:
                 # probe (a): tile-aligned score planes (e.g. 56 or 64)

@@ -381,6 +381,16 @@ def _maybe_bundle(args, family, variables, x_eval, our_logits):
     print(f"  bundle → {path}")
 
 
+_VIT_GEOMETRIES = {
+    # our registry name → (reference factory, depth)
+    "deit_tiny": ("deit_tiny_patch16_224", 12),
+    "deit_small": ("deit_small_patch16_224", 12),
+    "deit_base": ("deit_base_patch16_224", 12),
+    "vit_base": ("vit_base_patch16_224", 12),
+    "vit_large": ("vit_large_patch16_224", 24),
+}
+
+
 def run_vit(args):
     import torch
 
@@ -391,17 +401,20 @@ def run_vit(args):
         torch_vit_to_params,
     )
 
-    out = {"family": "deit_tiny_224"}
+    ref_factory, depth = _VIT_GEOMETRIES[args.model]
+    out = {"family": f"{args.model}_224"}
     ref = _ref_models()
     t0 = time.time()
     torch.manual_seed(0)  # reference-init + droppath draws reproducible
-    ref_model = ref.vit_quant.deit_tiny_patch16_224()
+    ref_model = getattr(ref.vit_quant, ref_factory)()
     if args.checkpoint:
         ckpt = torch.load(args.checkpoint, map_location="cpu")
         ref_model.load_state_dict(ckpt.get("model", ckpt), strict=False)
         out["weights"] = args.checkpoint
+        out["weights_kind"] = "trained"
     else:
         out["weights"] = "reference-init (trunc_normal; egress blocked)"
+        out["weights_kind"] = "init"
     sd = {
         k: v.numpy()
         for k, v in ref_model.state_dict().items()
@@ -428,7 +441,7 @@ def run_vit(args):
     print(f"  reference torch pass done in {time.time() - t0:.0f}s")
 
     t0 = time.time()
-    model = create_model("deit_tiny")
+    model = create_model(args.model)
     x0 = jnp.zeros((1, 224, 224, 3))
     variables = jax.jit(
         lambda r, x: model.init(r, x, train=True)
@@ -462,14 +475,14 @@ def run_vit(args):
     # fp32 oracle on the same weights → the quantization noise floor
     from ivit_tpu.models.vit_float import quant_params_to_float
 
-    fmodel = create_model("deit_tiny_fp32")
+    fmodel = create_model(f"{args.model}_fp32")
     float_logits = np.asarray(
         jax.jit(lambda p, x: fmodel.apply({"params": p}, x, train=False))(
             quant_params_to_float(variables["params"]), jnp.asarray(x_eval)
         )
     )
 
-    _compare_stats(ref_model, variables, _vit_name_map(12), out)
+    _compare_stats(ref_model, variables, _vit_name_map(depth), out)
     _report_logits("ref↔sim", ref_logits, our_logits, float_logits, out)
 
     # sim ↔ deploy engine at full scale on this artifact
@@ -507,8 +520,10 @@ def run_swin(args):
         ckpt = torch.load(args.checkpoint, map_location="cpu")
         ref_model.load_state_dict(ckpt.get("model", ckpt), strict=False)
         out["weights"] = args.checkpoint
+        out["weights_kind"] = "trained"
     else:
         out["weights"] = "reference-init (trunc_normal; egress blocked)"
+        out["weights_kind"] = "init"
     sd = {
         k: v.numpy()
         for k, v in ref_model.state_dict().items()
@@ -598,6 +613,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=["vit", "swin", "both"],
                     default="both")
+    ap.add_argument("--model", choices=sorted(_VIT_GEOMETRIES),
+                    default="deit_tiny",
+                    help="ViT-family geometry for the vit leg "
+                         "(vit_large = the depth-24 zoo corner, "
+                         "VERDICT r4 #7; CPU torch leg is slow)")
     ap.add_argument("--checkpoint", default=None,
                     help="real pretrained torch checkpoint (networked box)")
     ap.add_argument("--save-bundle", default=None,

@@ -31,6 +31,10 @@ class TestCLIDefaults:
         assert a.model_ema_decay == 0.99996
         assert a.seed == 0
         assert a.output_dir == "results/"
+        # TPU-native parallelism extras default OFF
+        assert a.mesh_model == 1
+        assert a.pipe == 1 and a.pipe_microbatches == 0
+        assert a.seq_parallel is False and a.zero1 is False
 
     def test_readme_recipe_invocation(self):
         # the README's documented invocation shape parses

@@ -147,3 +147,12 @@ class TestSwinGeluStable:
             )(x)
         )
         np.testing.assert_array_equal(dep_hmwp, dep)
+        # round-5 spec-level probe: head-split fused INTO the qkv GEMM
+        # (head-major (3,H,hd,Bw,N) straight out of the dot) — must be
+        # bit-identical; this config covers masked shifted blocks too
+        dep_wm = np.asarray(
+            build_swin_infer(
+                artifact, use_pallas=False, qkv_wmajor=True
+            )(x)
+        )
+        np.testing.assert_array_equal(dep_wm, dep)
