@@ -36,7 +36,10 @@ def check(path):
         bundle = pickle.load(f)
     family = bundle["family"]
     is_swin = family.startswith("swin")
-    name = "swin_tiny" if is_swin else "deit_tiny"
+    # family is "<registry name>_224" (e.g. deit_tiny_224, vit_large_224)
+    name = family[: -len("_224")] if family.endswith("_224") else (
+        "swin_tiny" if is_swin else "deit_tiny"
+    )
     print(f"== {family} on {jax.default_backend()} ==")
 
     from ivit_tpu.models import create_model
