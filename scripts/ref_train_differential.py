@@ -215,7 +215,8 @@ def main():
     row = {
         "record": "ref_train_same_data",
         "model": model_label,
-        "data": "fabricated cifar-100-python (scripts/cifar100_e2e.py)",
+        "data": f"fabricated cifar-100-python at {args.data} "
+                "(scripts/cifar100_e2e.py)",
         "epochs": args.epochs,
         "best_top1": round(best, 2),
         "final_top1": hist[-1] if hist else None,
