@@ -65,7 +65,23 @@ def check(path):
 
     t0 = time.time()
     artifact = freeze(model, jax.tree.map(np.asarray, variables))
-    dep = np.asarray(jax.jit(build(artifact, use_pallas=False))(x_eval))
+    try:
+        dep = np.asarray(jax.jit(build(artifact, use_pallas=False))(x_eval))
+    except Exception as e:  # noqa: BLE001
+        # vit_large-scale artifacts embed ~300 MB of int8 constants in
+        # the program — past the remote-compile relay's upload limit
+        # (HTTP 413). The weight-as-arguments wrapper passes the heavy
+        # buffers as jit arguments instead; bit-identical
+        # (tests/test_weight_args.py).
+        print(f"  closure engine compile failed ({type(e).__name__}: "
+              f"{str(e)[:120]}) — retrying with weight-as-arguments")
+        from ivit_tpu.deploy.weight_args import build_infer_weight_args
+
+        dep = np.asarray(
+            build_infer_weight_args(artifact, build, use_pallas=False)(
+                x_eval
+            )
+        )
     print(f"  freeze + engine forward {time.time() - t0:.0f}s")
 
     head_scale = float(np.max(artifact["head"]["out_scale"]))
