@@ -2,7 +2,7 @@
 
 Usage: python scripts/bench_zoo.py [--ship] [--smpack] [--scoresf32]
                                    [--pattn] [--hmajor] [--winpad=N]
-                                   [--wmajor] [model ...]
+                                   [--wmajor] [--weight-args] [model ...]
 Defaults to the six flagship configs. Loop-timed with final readback.
 ``--smpack`` / ``--scoresf32`` select the bit-identical engine variants
 (packed-u16 softmax boundary; bf16→f32 window dots, Swin only);
@@ -90,7 +90,15 @@ def main():
             if a.startswith("--winpad=") and is_swin:
                 # probe (a): tile-aligned score planes (e.g. 56 or 64)
                 kw["win_pad"] = int(a.split("=", 1)[1])
-        fn = jax.jit(build(artifact, **kw))
+        if "--weight-args" in argv:
+            # weight-as-arguments engine (deploy/weight_args.py):
+            # required for vit_large-scale programs on the relay
+            # (closure constants exceed the upload limit), bit-identical
+            from ivit_tpu.deploy.weight_args import build_infer_weight_args
+
+            fn = build_infer_weight_args(artifact, build, **kw)
+        else:
+            fn = jax.jit(build(artifact, **kw))
         t = time_fn(fn, images)
         print(f"{name:12s} {t*1e3:8.2f} ms  {BATCH/t:8.1f} img/s", flush=True)
 
