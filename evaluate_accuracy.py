@@ -40,6 +40,11 @@ def main(argv=None):
                    help="save per-image engine logits + labels to this "
                         ".npz (aligns image-for-image with quant_train "
                         "--eval --dump-logits: val order is sequential)")
+    p.add_argument("--weight-args", action="store_true",
+                   help="weight-as-arguments engine: artifact buffers "
+                        "become jit arguments instead of program "
+                        "constants (needed for vit_large-scale "
+                        "programs; bit-identical)")
     args = p.parse_args(argv)
 
     import jax
@@ -72,6 +77,10 @@ def main(argv=None):
         mesh = make_mesh(data=args.mesh_data, model=1,
                          devices=jax.devices()[: args.mesh_data])
         infer = shard_infer(build_infer(artifact), mesh)
+    elif args.weight_args:
+        from ivit_tpu.deploy.weight_args import build_infer_weight_args
+
+        infer = build_infer_weight_args(artifact, build_infer)
     else:
         infer = jax.jit(build_infer(artifact))
 

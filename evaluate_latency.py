@@ -41,6 +41,11 @@ def main(argv=None):
                         "DeiT-S batch 1) and OFF at larger batches "
                         "(XLA's batched matmuls win at batch 128); "
                         "--no-pallas-attention forces it off")
+    p.add_argument("--weight-args", action="store_true",
+                   help="weight-as-arguments engine: artifact buffers "
+                        "become jit arguments instead of program "
+                        "constants (needed for vit_large-scale "
+                        "programs; bit-identical)")
     p.add_argument("--sm-packed", action="store_true",
                    help="hand the softmax pass-boundary exp across HBM "
                         "as a packed u16 instead of f32 (value-"
@@ -112,7 +117,17 @@ def main(argv=None):
         kwargs["sm_packed"] = True
     # AOT compile (the relay.build analogue).
     t0 = time.perf_counter()
-    compiled = jax.jit(build_infer(artifact, **kwargs)).lower(images).compile()
+    if args.weight_args:
+        # weight-as-arguments engine: required for vit_large-scale
+        # programs (closure constants exceed the remote-compile upload
+        # limit); bit-identical (tests/test_weight_args.py)
+        from ivit_tpu.deploy.weight_args import build_infer_weight_args
+
+        compiled = build_infer_weight_args(artifact, build_infer, **kwargs)
+    else:
+        compiled = (
+            jax.jit(build_infer(artifact, **kwargs)).lower(images).compile()
+        )
     print(f"compile: {time.perf_counter() - t0:.1f}s")
 
     # final host readback forces true completion (block_until_ready does
