@@ -87,3 +87,14 @@ def test_pipe_e2e_synthetic(tmp_path):
         "--output-dir", str(tmp_path),
     ])
     assert np.isfinite(acc2)
+
+    # and resumes INTO another pipelined run (--resume satisfies the
+    # frozen-range guard; restacking happens after the load)
+    acc3 = quant_train.main(BASE + [
+        "--pipe", "2", "--resume", str(tmp_path / "checkpoint.pkl"),
+        "--epochs", "2", "--max-steps-per-epoch", "2",
+        "--output-dir", str(tmp_path),
+    ])
+    assert np.isfinite(acc3)
+    _, extra2 = load_checkpoint_raw(str(tmp_path / "checkpoint.pkl"))
+    assert extra2["epoch"] == 1 and extra2["pipe"] == 2
