@@ -496,6 +496,14 @@ def run_vit(args):
     return out
 
 
+_SWIN_GEOMETRIES = {
+    # our registry name → (reference factory, depths)
+    "swin_tiny": ("swin_tiny_patch4_window7_224", (2, 2, 6, 2)),
+    "swin_small": ("swin_small_patch4_window7_224", (2, 2, 18, 2)),
+    "swin_base": ("swin_base_patch4_window7_224", (2, 2, 18, 2)),
+}
+
+
 def run_swin(args):
     import torch
 
@@ -504,7 +512,8 @@ def run_swin(args):
     from ivit_tpu.models.import_swin import torch_swin_to_params
     from ivit_tpu.models.import_torch import merge_params
 
-    out = {"family": "swin_tiny_224"}
+    swin_factory, swin_depths = _SWIN_GEOMETRIES[args.swin_model]
+    out = {"family": f"{args.swin_model}_224"}
     ref = _ref_models()
     t0 = time.time()
     torch.manual_seed(0)  # reference-init reproducible
@@ -513,7 +522,7 @@ def run_swin(args):
     # train()-mode calibration; torch and JAX RNGs cannot draw the same
     # masks, so a nonzero rate turns the EMA-stat comparison into noise
     # (measured: 24% worst drift at 0.1 vs <5% tie dust at 0).
-    ref_model = ref.swin_quant.swin_tiny_patch4_window7_224(
+    ref_model = getattr(ref.swin_quant, swin_factory)(
         drop_path_rate=0.0
     )
     if args.checkpoint:
@@ -553,7 +562,7 @@ def run_swin(args):
     print(f"  reference torch pass done in {time.time() - t0:.0f}s")
 
     t0 = time.time()
-    model = create_model("swin_tiny", drop_path_rate=0.0)
+    model = create_model(args.swin_model, drop_path_rate=0.0)
     x0 = jnp.zeros((1, 224, 224, 3))
     variables = jax.jit(
         lambda r, x: model.init(r, x, train=True)
@@ -586,7 +595,7 @@ def run_swin(args):
 
     from ivit_tpu.models.swin_float import swin_quant_params_to_float
 
-    fmodel = create_model("swin_tiny_fp32")
+    fmodel = create_model(f"{args.swin_model}_fp32")
     float_logits = np.asarray(
         jax.jit(lambda p, x: fmodel.apply({"params": p}, x, train=False))(
             swin_quant_params_to_float(variables["params"]),
@@ -595,7 +604,7 @@ def run_swin(args):
     )
 
     _compare_stats(
-        ref_model, variables, _swin_name_map((2, 2, 6, 2)), out
+        ref_model, variables, _swin_name_map(swin_depths), out
     )
     _report_logits("ref↔sim", ref_logits, our_logits, float_logits, out)
 
@@ -618,6 +627,11 @@ def main():
                     help="ViT-family geometry for the vit leg "
                          "(vit_large = the depth-24 zoo corner, "
                          "VERDICT r4 #7; CPU torch leg is slow)")
+    ap.add_argument("--swin-model", choices=sorted(_SWIN_GEOMETRIES),
+                    default="swin_tiny",
+                    help="Swin-family geometry for the swin leg "
+                         "(swin_base = the width corner: dim 128, "
+                         "heads 4-8-16-32)")
     ap.add_argument("--checkpoint", default=None,
                     help="real pretrained torch checkpoint (networked box)")
     ap.add_argument("--save-bundle", default=None,
@@ -633,7 +647,7 @@ def main():
         print("== deit_tiny 224² full-scale differential ==")
         results.append(run_vit(args))
     if args.family in ("swin", "both"):
-        print("== swin_tiny 224² full-scale differential ==")
+        print(f"== {args.swin_model} 224² full-scale differential ==")
         results.append(run_swin(args))
     import json
 
