@@ -164,7 +164,7 @@ def run_family(opts, model, extra):
         "--input-size", "32", "--nb-classes", "100",
         "--batch-size", str(opts.batch), "--num-workers", "2",
         "--lr", str(opts.lr), "--output-dir", work,
-        "--drop-path", "0.0",
+        "--drop-path", "0.0", "--seed", str(opts.seed),
     ] + extra
     if opts.fast_matmul:
         base += ["--fast-matmul"]
@@ -237,6 +237,8 @@ def main():
     ap.add_argument("--train-n", type=int, default=2000)
     ap.add_argument("--test-n", type=int, default=500)
     ap.add_argument("--fast-matmul", action="store_true")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (data order / aug draws / init)")
     ap.add_argument("--hard", type=int, default=0,
                     help="non-saturating fabricated variant: per-image "
                          "square-color noise half-width (e.g. 30 → "
